@@ -1,0 +1,139 @@
+"""Block library — TPU-native equivalent of the reference's
+``generators/common/blocks.py``.
+
+Differences by design (not omissions):
+- AdaIN (weight, bias) are *call arguments* rather than imperatively assigned
+  module state (reference ``blocks.py:6-26``'s assign/delete dance exists only
+  to save GPU memory under autograd; XLA needs neither).
+- NHWC layout; spectral norm carries its power-iteration state in the
+  "spectral" flax collection (see ops/spectral_norm.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from latentpose_tpu.ops import norms as norm_ops
+from latentpose_tpu.ops.image import avg_pool_2x, upsample_nearest_2x
+from latentpose_tpu.ops.spectral_norm import SNConv
+
+AdaParams = Tuple[jnp.ndarray, jnp.ndarray]  # (weight, bias), each (B, C)
+
+
+def _reflect_pad_1(x):
+    return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+
+
+class InstanceNormAffine(nn.Module):
+    """InstanceNorm2d(affine=True, eps=1e-4) parity (weight=1, bias=0 init)."""
+
+    features: int
+    eps: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return norm_ops.instance_norm_affine(x, weight, bias, self.eps)
+
+
+class ResBlock(nn.Module):
+    """Pre-activation residual block (reference ``blocks.py:47-111``).
+
+    main: [norm0] -> ReLU -> [up x2] -> SNConv3x3 -> [norm1] -> ReLU
+          -> SNConv3x3 -> [down avgpool2]
+    skip (if in!=out or up or down): [up x2] -> SNConv1x1(bias) -> [down]
+
+    ``norm_layer``: 'none' | 'in' | 'adain'.  Conv biases are disabled when a
+    norm is present (reference: ``bias = not normalize``).
+    With 'adain', per-sample (weight, bias) pairs for the two norms come in as
+    call arguments.
+    """
+
+    in_features: int
+    out_features: int
+    norm_layer: str = "none"          # 'none' | 'in' | 'adain'
+    upsample: bool = False
+    downsample: bool = False
+    padding: str = "zero"             # 'zero' | 'reflection'
+    eps: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x, ada0: Optional[AdaParams] = None,
+                 ada1: Optional[AdaParams] = None,
+                 update_stats: bool = False):
+        normalize = self.norm_layer != "none"
+        conv_bias = not normalize
+        conv_padding = 1 if self.padding == "zero" else 0
+
+        def maybe_pad(h):
+            return _reflect_pad_1(h) if self.padding == "reflection" else h
+
+        h = x
+        if self.norm_layer == "in":
+            h = InstanceNormAffine(self.in_features, self.eps, name="norm0")(h)
+        elif self.norm_layer == "adain":
+            assert ada0 is not None, "adain ResBlock needs ada0=(weight, bias)"
+            h = norm_ops.adain(h, ada0[0], ada0[1], self.eps)
+
+        h = nn.relu(h)
+        if self.upsample:
+            h = upsample_nearest_2x(h)
+        h = SNConv(self.out_features, (3, 3), padding=conv_padding,
+                   use_bias=conv_bias, name="conv0")(maybe_pad(h),
+                                                     update_stats)
+
+        if self.norm_layer == "in":
+            h = InstanceNormAffine(self.out_features, self.eps,
+                                   name="norm1")(h)
+        elif self.norm_layer == "adain":
+            assert ada1 is not None, "adain ResBlock needs ada1=(weight, bias)"
+            h = norm_ops.adain(h, ada1[0], ada1[1], self.eps)
+
+        h = nn.relu(h)
+        h = SNConv(self.out_features, (3, 3), padding=conv_padding,
+                   use_bias=conv_bias, name="conv1")(maybe_pad(h),
+                                                     update_stats)
+        if self.downsample:
+            h = avg_pool_2x(h)
+
+        needs_skip = (self.in_features != self.out_features or self.upsample
+                      or self.downsample)
+        if needs_skip:
+            s = x
+            if self.upsample:
+                s = upsample_nearest_2x(s)
+            s = SNConv(self.out_features, (1, 1), padding=0, use_bias=True,
+                       name="skip")(s, update_stats)
+            if self.downsample:
+                s = avg_pool_2x(s)
+            return h + s
+        return h + x
+
+
+class SelfAttention(nn.Module):
+    """SAGAN-style self-attention (reference ``blocks.py:589-609``).
+
+    Unused by the flagship config; provided for parity with the block library.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        b, h, w, c = x.shape
+        f = SNConv(c // 8, (1, 1), padding=0, name="f")(x, update_stats)
+        g = SNConv(c // 8, (1, 1), padding=0, name="g")(x, update_stats)
+        v = SNConv(c, (1, 1), padding=0, name="h")(x, update_stats)
+        fq = f.reshape(b, h * w, c // 8)
+        gq = g.reshape(b, h * w, c // 8)
+        vq = v.reshape(b, h * w, c)
+        attn = nn.softmax(jnp.einsum("bic,bjc->bij", fq, gq,
+                                     preferred_element_type=jnp.float32),
+                          axis=-1)
+        out = jnp.einsum("bij,bjc->bic", attn.astype(vq.dtype), vq)
+        gamma = self.param("gamma", nn.initializers.zeros, ())
+        return x + gamma * out.reshape(b, h, w, c)

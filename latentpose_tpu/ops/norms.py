@@ -1,0 +1,49 @@
+"""Normalization ops: instance norm + AdaIN (adaptive instance norm).
+
+The reference's AdaptiveNorm2d (``generators/common/blocks.py:6-26``) is
+InstanceNorm2d(affine=False, eps=1e-4) followed by a per-sample, per-channel
+affine whose (weight, bias) are *assigned from outside* right before the
+forward.  In JAX we simply pass (weight, bias) as arguments — the reference's
+imperative assign-and-delete memory hack is unnecessary under XLA.
+
+All ops are NHWC (TPU-native layout).  XLA fuses the mean/var/normalize/affine
+chain into the surrounding convolutions; a Pallas fusion for the full
+instance-norm + affine + ReLU sequence lives in ``ops/pallas/adain_fused.py``
+and is used on the inference hot path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def instance_norm(x, eps: float = 1e-4):
+    """InstanceNorm2d(affine=False) parity: per-(sample, channel) over H, W.
+
+    Biased variance, like torch instance norm. x: (B, H, W, C).
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    y = (x32 - mean) * lax.rsqrt(var + eps)
+    return y.astype(x.dtype)
+
+
+def adain(x, weight, bias, eps: float = 1e-4):
+    """Adaptive instance norm: IN(x) * weight + bias.
+
+    x: (B, H, W, C); weight, bias: (B, C) — per-sample affine produced by the
+    generator's projector MLP (reference ``generators/...noBottleneck.py:
+    108-125``: bias comes first in the packed affine-params vector).
+    """
+    y = instance_norm(x, eps)
+    return y * weight[:, None, None, :].astype(y.dtype) \
+        + bias[:, None, None, :].astype(y.dtype)
+
+
+def instance_norm_affine(x, weight, bias, eps: float = 1e-4):
+    """InstanceNorm2d(affine=True) parity: shared (C,) scale/offset."""
+    y = instance_norm(x, eps)
+    return y * weight[None, None, None, :].astype(y.dtype) \
+        + bias[None, None, None, :].astype(y.dtype)

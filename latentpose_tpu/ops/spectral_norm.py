@@ -1,0 +1,169 @@
+"""Spectral normalization with explicit power-iteration state.
+
+TPU-native rethink of torch.nn.utils.spectral_norm as used throughout the
+reference (eps=1e-4 everywhere; reference ``generators/common/blocks.py``,
+``discriminators/no_landmarks.py:88-91``).
+
+Torch semantics we reproduce exactly:
+- the weight is viewed as a 2-D matrix W (out_features, -1);
+- in training mode each *forward* performs one power iteration
+  ``v = normalize(Wᵀu); u = normalize(Wv)`` with no grad, stores (u, v), and
+  then divides by ``sigma = uᵀ W v`` (gradients flow into W only);
+- in eval mode the stored (u, v) are reused without updating.
+
+Because the reference discriminator runs three forwards per train step
+(fake-for-G, fake-for-D, real — ``discriminators/no_landmarks.py:154-161``),
+the u/v state advances three times per step there; our train step threads the
+mutable "spectral" collection through the same three applications in the same
+order.
+
+The power-iteration state lives in a flax variable collection named
+``"spectral"`` — a pytree the TrainState carries and the jitted step updates,
+exactly once per *application* with ``update_stats=True`` (SURVEY.md §7 "hard
+parts": spectral norm under jit).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from latentpose_tpu.ops import initializers as tinit
+
+COLLECTION = "spectral"
+
+
+def _l2_normalize(x, eps):
+    # torch F.normalize: x / max(||x||, eps)
+    return x / jnp.maximum(jnp.linalg.norm(x), eps)
+
+
+def _sn_init_u(key, out_features):
+    u = jax.random.normal(key, (out_features,))
+    return _l2_normalize(u, 1e-12)
+
+
+class _SNMixin:
+    """Shared spectral-norm machinery for SN layers.
+
+    Subclasses call ``self._spectral_normalize(w2d, update_stats)`` where
+    ``w2d`` has shape (out_features, fan_in_flat).
+    """
+
+    def _spectral_normalize(self, w2d, update_stats: bool):
+        out_features, in_flat = w2d.shape
+        u_var = self.variable(
+            COLLECTION, "u",
+            lambda: _sn_init_u(self.make_rng("params")
+                               if self.has_rng("params")
+                               else jax.random.PRNGKey(0), out_features))
+        v_var = self.variable(
+            COLLECTION, "v", lambda: jnp.zeros((in_flat,), jnp.float32))
+
+        w_sg = jax.lax.stop_gradient(w2d).astype(jnp.float32)
+
+        if self.is_initializing():
+            # Initialize v consistently with u (one torch-style iteration).
+            v0 = _l2_normalize(w_sg.T @ u_var.value, self.sn_eps)
+            u0 = _l2_normalize(w_sg @ v0, self.sn_eps)
+            u_var.value, v_var.value = u0, v0
+
+        u, v = u_var.value, v_var.value
+        if update_stats and not self.is_initializing():
+            v = _l2_normalize(w_sg.T @ u, self.sn_eps)
+            u = _l2_normalize(w_sg @ v, self.sn_eps)
+            u_var.value, v_var.value = u, v
+
+        u = jax.lax.stop_gradient(u)
+        v = jax.lax.stop_gradient(v)
+        sigma = u @ (w2d.astype(jnp.float32) @ v)
+        return (w2d / sigma.astype(w2d.dtype)).astype(w2d.dtype)
+
+
+class SNConv(nn.Module, _SNMixin):
+    """3x3/1x1 conv with spectral norm (torch Conv2d + spectral_norm parity).
+
+    NHWC inputs; kernel stored HWIO; the 2-D view for power iteration matches
+    torch's (O, I*H*W) reshape of its OIHW kernel.
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: Any = 1          # int zero-padding like torch Conv2d(padding=N)
+    use_bias: bool = True
+    sn_eps: float = 1e-4
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        in_features = x.shape[-1]
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", tinit.torch_conv_kernel_init,
+            (kh, kw, in_features, self.features))
+        # HWIO -> (O, I, H, W) flattened = torch's view(out, -1) order.
+        w2d = jnp.transpose(kernel, (3, 2, 0, 1)).reshape(self.features, -1)
+        w2d = self._spectral_normalize(w2d, update_stats)
+        kernel_sn = jnp.transpose(
+            w2d.reshape(self.features, in_features, kh, kw), (2, 3, 1, 0))
+
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel_sn.astype(dtype),
+            window_strides=self.strides, padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias",
+                              tinit.torch_bias_init(kh * kw * in_features),
+                              (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class SNDense(nn.Module, _SNMixin):
+    """Linear layer with spectral norm (torch Linear + spectral_norm parity)."""
+
+    features: int
+    use_bias: bool = True
+    sn_eps: float = 1e-4
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", tinit.torch_conv_kernel_init,
+                            (in_features, self.features))
+        w2d = self._spectral_normalize(kernel.T, update_stats)  # (out, in)
+        dtype = self.dtype or x.dtype
+        y = x.astype(dtype) @ w2d.T.astype(dtype)
+        if self.use_bias:
+            bias = self.param("bias", tinit.torch_bias_init(in_features),
+                              (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class SNEmbed(nn.Module, _SNMixin):
+    """Embedding table with spectral norm over the (num, dim) matrix.
+
+    Parity with the reference discriminator's projection embedding
+    (``discriminators/no_landmarks.py:86-91``): weights init U(-0.1, 0.1).
+    """
+
+    num_embeddings: int
+    features: int
+    sn_eps: float = 1e-4
+
+    @nn.compact
+    def __call__(self, labels, update_stats: bool = False):
+        table = self.param("embedding", tinit.uniform_init(-0.1, 0.1),
+                           (self.num_embeddings, self.features))
+        table_sn = self._spectral_normalize(table, update_stats)
+        return jnp.take(table_sn, labels, axis=0)
