@@ -1,0 +1,173 @@
+"""Synthetic procedural "talking head" dataset — the hermetic fixture.
+
+The reference has no tests (SURVEY.md §4); this dataset exists so that every
+pipeline stage (meta-train, fine-tune, drive, eval) runs end-to-end with zero
+external data.  Each (identity, video, frame) deterministically renders a
+face-like image: an elliptical head whose color/size encode identity and
+whose "gaze"/head offset encode pose; the matching segmentation mask is the
+head ellipse.  Pose varies smoothly with frame index so driving sequences are
+meaningful.
+
+Emits the flagship data contract (SURVEY.md §2.3,
+``dataloaders/voxceleb2_segmentation_nolandmarks.py``):
+  data_dict:   enc_rgbs (B, K, H, W, 3), pose_input_rgbs (B, 1, H, W, 3)
+  target_dict: target_rgbs (B, 1, H, W, 3) = image * segm,
+               real_segm (B, 1, H, W, 1), label (B,)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Wrapper:
+    @staticmethod
+    def get_args(parser):
+        parser.add("--num_enc_frames", type=int, default=8,
+                   help="K identity frames per sample (reference samples "
+                        "9 frames: 8 enc + 1 driver)")
+        parser.add("--synthetic_num_labels", type=int, default=16)
+        parser.add("--synthetic_frames_per_video", type=int, default=32)
+
+    @staticmethod
+    def get_dataloader(args, part, phase="train"):
+        num_labels = getattr(args, "synthetic_num_labels", 16) or 16
+        return SyntheticDataLoader(
+            image_size=args.image_size,
+            batch_size=args.batch_size,
+            num_labels=num_labels,
+            num_enc_frames=getattr(args, "num_enc_frames", 8),
+            frames_per_video=getattr(args, "synthetic_frames_per_video", 32),
+            finetune=bool(getattr(args, "finetune", False)),
+            inference=bool(getattr(args, "inference", False)),
+            seed=args.random_seed + (0 if part == "train" else 1),
+        )
+
+
+def _identity_style(label: int):
+    rng = np.random.RandomState(1000 + label)
+    skin = 0.35 + 0.55 * rng.rand(3)
+    bg = 0.1 + 0.3 * rng.rand(3)
+    size = 0.28 + 0.10 * rng.rand()
+    eye_sep = 0.30 + 0.15 * rng.rand()
+    return skin, bg, size, eye_sep
+
+
+def _pose_of_frame(frame: int, period: int = 32):
+    t = 2 * np.pi * (frame % period) / period
+    yaw = 0.35 * np.sin(t)            # [-0.35, 0.35] horizontal shift
+    pitch = 0.2 * np.sin(2 * t + 1.0)
+    mouth = 0.5 + 0.5 * np.sin(3 * t)
+    return yaw, pitch, mouth
+
+
+def render_face(label: int, frame: int, image_size: int):
+    """Render (image, segm) float32 in [0, 1]; (H, W, 3) and (H, W, 1)."""
+    skin, bg, size, eye_sep = _identity_style(label)
+    yaw, pitch, mouth = _pose_of_frame(frame)
+    h = w = image_size
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    yy = yy / h - 0.5
+    xx = xx / w - 0.5
+
+    cx = 0.5 * yaw * size
+    cy = 0.5 * pitch * size
+    # head ellipse
+    d2 = ((xx - cx) / size) ** 2 + ((yy - cy) / (1.25 * size)) ** 2
+    head = (d2 < 1.0).astype(np.float32)
+
+    img = np.empty((h, w, 3), np.float32)
+    img[:] = bg
+    img = img * (1 - head[..., None]) + skin * head[..., None]
+
+    # eyes: dark circles, horizontal position shifts with yaw (the "pose")
+    for side in (-1, 1):
+        ex = cx + side * eye_sep * size * 0.5 + 0.3 * yaw * size
+        ey = cy - 0.35 * size + 0.2 * pitch * size
+        e2 = ((xx - ex) / (0.12 * size)) ** 2 + ((yy - ey) / (0.12 * size)) ** 2
+        eye = (e2 < 1.0).astype(np.float32)
+        img = img * (1 - eye[..., None]) + 0.05 * eye[..., None]
+
+    # mouth: dark ellipse whose openness encodes `mouth`
+    mx, my = cx, cy + 0.55 * size
+    m2 = ((xx - mx) / (0.3 * size)) ** 2 + \
+         ((yy - my) / (0.05 * size + 0.12 * size * mouth)) ** 2
+    mo = (m2 < 1.0).astype(np.float32)
+    img = img * (1 - mo[..., None]) + 0.1 * mo[..., None]
+
+    return img, head[..., None]
+
+
+class SyntheticDataLoader:
+    """Iterable of (data_dict, target_dict) numpy batches.
+
+    Meta mode: each sample = one identity; K enc frames + 1 driver + target
+    all from that identity's "video".  Fine-tune mode: single identity
+    (label 0), one frame serving as identity/driver/target (reference
+    ``voxceleb2_segmentation_nolandmarks.py:187-209``).
+    """
+
+    def __init__(self, image_size, batch_size, num_labels, num_enc_frames=8,
+                 frames_per_video=32, finetune=False, inference=False,
+                 seed=0, steps_per_epoch=None):
+        self.image_size = image_size
+        self.batch_size = batch_size
+        self.num_labels = num_labels
+        self.num_enc_frames = num_enc_frames
+        self.frames_per_video = frames_per_video
+        self.finetune = finetune
+        self.inference = inference
+        self.seed = seed
+        self.steps_per_epoch = steps_per_epoch or max(
+            1, num_labels // batch_size)
+        self.deterministic = False
+        self.epoch = 0
+
+    def __len__(self):
+        return self.steps_per_epoch
+
+    def sample(self, label: int, rng: np.random.RandomState):
+        frames = rng.randint(0, self.frames_per_video,
+                             size=self.num_enc_frames + 2)
+        if self.finetune:
+            f = frames[0]
+            img, segm = render_face(label, f, self.image_size)
+            enc = np.stack([img] * self.num_enc_frames)
+            driver, target, tsegm = img, img, segm
+        else:
+            enc = np.stack([
+                render_face(label, f, self.image_size)[0]
+                for f in frames[:self.num_enc_frames]])
+            driver, _ = render_face(label, frames[-2], self.image_size)
+            target, tsegm = render_face(label, frames[-2], self.image_size)
+        return enc, driver, target, tsegm
+
+    def get_batch(self, it: int):
+        rng = np.random.RandomState(
+            self.seed + it + 100003 * self.epoch
+            if not self.deterministic else 666 + it)
+        labels = rng.randint(0, self.num_labels, size=self.batch_size)
+        encs, drivers, targets, segms = [], [], [], []
+        for lb in labels:
+            e, d, t, s = self.sample(int(lb), rng)
+            encs.append(e)
+            drivers.append(d)
+            targets.append(t)
+            segms.append(s)
+        data_dict = {
+            "enc_rgbs": np.stack(encs).astype(np.float32),
+            "pose_input_rgbs": np.stack(drivers)[:, None].astype(np.float32),
+        }
+        target_dict = {
+            "target_rgbs": (np.stack(targets)
+                            * np.stack(segms))[:, None].astype(np.float32),
+            "real_segm": np.stack(segms)[:, None].astype(np.float32),
+            "label": labels.astype(np.int32),
+        }
+        return data_dict, target_dict
+
+    def __iter__(self):
+        for it in range(self.steps_per_epoch):
+            yield self.get_batch(it)
+        self.epoch += 1

@@ -1,0 +1,96 @@
+"""Caffe-VGG19 / VGGFace-VGG16 perceptual loss.
+
+Behavioral parity with the reference ``criterions/common/perceptual_loss.py``:
+- backbone truncated at 30 layers, MaxPool -> AvgPool (see nn/vgg.py);
+- inputs remapped ``(x + 1) / 2`` then caffe-normalized: mean
+  (103.939, 116.779, 123.680)/255 per channel in that order (the reference
+  applies the BGR means to RGB tensors without a channel flip — we reproduce
+  that exactly), std 1/255 — i.e. effectively ``x * 255 - mean_255``;
+- loss = sum of mean-| · | feature differences at every ReLU, target
+  stop-gradiented, scaled by ``weight``.
+
+Pretrained weights come from ``tools/convert_torch_weights.py`` conversions of
+the reference's ``vgg19-d01eb7cb.pth`` / ``vgg_face_weights.pth``.  If absent,
+the tower is deterministically random-initialized — still a valid perceptual
+metric for hermetic tests, clearly logged.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from latentpose_tpu.nn.vgg import VGG16_CFG, VGG19_CFG, VGGFeatures
+
+logger = logging.getLogger("latentpose_tpu.losses.perceptual")
+
+_CAFFE_MEAN = np.array([103.939, 116.779, 123.680], np.float32) / 255.0
+_CAFFE_STD = np.array([1.0, 1.0, 1.0], np.float32) / 255.0
+
+WEIGHT_FILES = {
+    "caffe": "vgg19_caffe.npz",
+    "face": "vgg_face.npz",
+}
+
+
+def _load_npz_params(path):
+    """Load converted weights: keys 'conv<i>/kernel', 'conv<i>/bias'."""
+    raw = np.load(path)
+    params = {}
+    for key in raw.files:
+        mod, leaf = key.split("/")
+        params.setdefault(mod, {})[leaf] = jnp.asarray(raw[key])
+    return {"params": params}
+
+
+class PerceptualLoss:
+    """Callable, jit-compatible: arrays in, scalar out.
+
+    The frozen VGG params are captured as constants; XLA hoists them so they
+    live on-device once per compiled program.
+    """
+
+    def __init__(self, weight, vgg_weights_dir, net="caffe"):
+        self.weight = float(weight)
+        self.net = net
+        cfg = VGG19_CFG if net in ("caffe", "pytorch") else VGG16_CFG
+        self.module = VGGFeatures(cfg=cfg, num_layers=30)
+
+        path = None
+        if vgg_weights_dir and net in WEIGHT_FILES:
+            candidate = os.path.join(str(vgg_weights_dir), WEIGHT_FILES[net])
+            if os.path.exists(candidate):
+                path = candidate
+        if path is not None:
+            self.variables = _load_npz_params(path)
+            logger.info("PerceptualLoss(%s): loaded weights from %s",
+                        net, path)
+        else:
+            dummy = jnp.zeros((1, 32, 32, 3))
+            self.variables = self.module.init(jax.random.PRNGKey(0), dummy)
+            logger.warning(
+                "PerceptualLoss(%s): no pretrained weights found under %r — "
+                "using a deterministic random tower (tests only; convert the "
+                "reference .pth files with tools/convert_torch_weights.py "
+                "for paper-parity losses)", net, vgg_weights_dir)
+
+        self.mean = jnp.asarray(_CAFFE_MEAN)
+        self.std = jnp.asarray(_CAFFE_STD)
+
+    def _normalize(self, x):
+        return (x - self.mean) / self.std
+
+    def __call__(self, input, target):
+        """input/target: (B, H, W, 3) in the generator's output range."""
+        x = (input + 1.0) / 2.0
+        y = (jax.lax.stop_gradient(target) + 1.0) / 2.0
+        feats_x = self.module.apply(self.variables, self._normalize(x))
+        feats_y = self.module.apply(self.variables, self._normalize(y))
+        loss = 0.0
+        for fx, fy in zip(feats_x, feats_y):
+            loss = loss + jnp.mean(jnp.abs(fx - fy))
+        return loss * self.weight

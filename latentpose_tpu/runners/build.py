@@ -1,0 +1,93 @@
+"""Construction of models, criteria, optimizers, and the initial TrainState.
+
+This is the functional analog of the reference's module instantiation in
+``train.py:137-175`` + ``TrainingModule.__init__``/EMA setup
+(``runners/holycow.py:44-109``).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from latentpose_tpu.models.discriminators import no_landmarks as _dis_default
+from latentpose_tpu.runners import holycow
+from latentpose_tpu.runners.state import TrainState, d_trainable, g_trainable
+
+
+def build_models(args, modules) -> Dict[str, Any]:
+    return {
+        "embedder": modules["embedders"].Wrapper.get_net(args),
+        "generator": modules["generators"].Wrapper.get_net(args),
+        "discriminator": modules["discriminators"].Wrapper.get_net(args),
+    }
+
+
+def build_criteria(args, modules):
+    return [m.Wrapper.get_net(args) for m in modules["criterions"]]
+
+
+def build_optimizers(args, modules):
+    opt_g = holycow.get_gen_optimizer(args)
+    dis_wrapper = modules["discriminators"].Wrapper if modules.get(
+        "discriminators") else _dis_default.Wrapper
+    opt_d = dis_wrapper.get_optimizer(args)
+    return opt_g, opt_d
+
+
+def init_variables(args, models, rng):
+    """Initialize all model variables with dummy batches (shapes only)."""
+    h = w = args.image_size
+    rng_e, rng_g, rng_d = jax.random.split(rng, 3)
+
+    enc = jnp.zeros((1, 1, h, w, 3), jnp.float32)
+    pose_in = jnp.zeros((1, 1, h, w, 3), jnp.float32)
+    emb_vars = models["embedder"].init(rng_e, enc, pose_in)
+
+    idt = jnp.zeros((1, args.embed_channels), jnp.float32)
+    pose = jnp.zeros((1, args.pose_embedding_size), jnp.float32)
+    gen_vars = models["generator"].init(rng_g, idt, pose)
+
+    img = jnp.zeros((1, h, w, 3), jnp.float32)
+    labels = jnp.zeros((1,), jnp.int32)
+    dis_vars = models["discriminator"].init(rng_d, img, labels)
+
+    return emb_vars, gen_vars, dis_vars
+
+
+def init_train_state(args, models, opt_g, opt_d, rng,
+                     finetune: bool = False,
+                     finetune_embedding=None) -> TrainState:
+    emb_vars, gen_vars, dis_vars = init_variables(args, models, rng)
+
+    params = {
+        "embedder": emb_vars["params"],
+        "generator": gen_vars["params"],
+        "discriminator": dis_vars["params"],
+    }
+    if finetune:
+        if finetune_embedding is None:
+            finetune_embedding = jax.random.uniform(
+                rng, (1, args.embed_channels))
+        params["finetune_embedding"] = finetune_embedding
+
+    batch_stats = {"embedder": emb_vars.get("batch_stats", {})}
+    spectral = {"generator": gen_vars["spectral"],
+                "discriminator": dis_vars["spectral"]}
+
+    ema_params = {"embedder": copy.deepcopy(params["embedder"]),
+                  "generator": copy.deepcopy(params["generator"])}
+
+    return TrainState(
+        step=jnp.zeros((), jnp.int32) + int(getattr(args, "iteration", 0)),
+        params=params,
+        batch_stats=batch_stats,
+        spectral=spectral,
+        opt_state_g=opt_g.init(g_trainable(params, finetune)),
+        opt_state_d=opt_d.init(d_trainable(params)),
+        ema_params=ema_params,
+        finetune=finetune,
+    )

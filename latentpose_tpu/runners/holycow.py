@@ -1,0 +1,256 @@
+"""The runner: one XLA program = G forward + D's three passes + all six
+losses + both optimizer updates + the EMA update.
+
+Re-design of the reference ``runners/holycow.py`` for TPU:
+
+- The reference's ``loss_G.backward(retain_graph=True); opt_G.step();
+  loss_D.backward(); opt_D.step()`` (``:238-252``) becomes ONE
+  ``value_and_grad`` over the combined scalar
+  ``loss_G(g, stop_grad(d)) + loss_D(stop_grad(g outputs), d)`` —
+  the stop-gradient surgery reproduces exactly the gradients the two
+  backwards produce, while letting XLA share every forward computation
+  (SURVEY.md §7 "two-optimizer GAN step in one XLA program").
+- The discriminator's three passes (fake-through-G-graph, fake-detached,
+  real — reference ``discriminators/no_landmarks.py:154-161``) run in the
+  same order, threading the spectral-norm power-iteration state through
+  them, so (u, v) advance 3x per step exactly as torch's forward hooks do.
+- EMA (``:99-109``): fused tree_map inside the same program,
+  alpha = 0.972 fine-tune / 0.999 meta (``:257``).
+- Data parallelism: the step is written over the *global* batch; under
+  ``jit`` with a Mesh and batch sharded on the 'data' axis, XLA partitions it
+  and inserts the gradient all-reduces over ICI (replacing
+  NCCL/apex.Reducer/horovod — reference ``train.py:97-211``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from latentpose_tpu.runners.state import (TrainState, d_trainable,
+                                          g_trainable, merge_trainable)
+
+
+class Wrapper:
+    @staticmethod
+    def get_args(parser):
+        parser.add("--iteration", type=int, default=0)
+        parser.add("--log_frequency_loss", type=int, default=1)
+        parser.add("--log_frequency_images", type=int, default=100)
+        parser.add("--log_frequency_fixed_images", type=int, default=2500)
+        parser.add("--detailed_metrics", action="store_bool", default=True)
+        parser.add("--num_visuals_per_img", default=2, type=int)
+        parser.add("--fixed_val_ids", action="append", type=int,
+                   default=[50, 100, 200, 250, 300])
+        parser.add("--batch_size_inference", default=5, type=int)
+        return parser
+
+
+def get_gen_optimizer(args) -> optax.GradientTransformation:
+    """Generator-side optimizer (reference ``holycow.py:34-41``):
+    Adam/RAdam(lr_gen, betas=(beta1, 0.999), eps=1e-5) over generator
+    (+ embedder unless fine-tuning)."""
+    opt = {"Adam": optax.adam, "RAdam": optax.radam}[args.optimizer]
+    return opt(args.lr_gen, b1=args.beta1, b2=0.999, eps=1e-5)
+
+
+def forward(models, params, batch_stats, spectral, batch,
+            rng=None, train=True, finetune=False, update_stats=True,
+            compute_losses=True):
+    """Run embedder -> generator -> discriminator(3 passes), producing the
+    populated data_dict (reference ``TrainingModule.forward``,
+    ``holycow.py:153-201``) plus the mutated variable collections.
+
+    All returned scores/features follow the reference's data_dict key names.
+    """
+    embedder = models["embedder"]
+    generator = models["generator"]
+    discriminator = models["discriminator"]
+
+    data_dict: Dict[str, Any] = dict(batch)
+    new_batch_stats = dict(batch_stats)
+    new_spectral = dict(spectral)
+
+    rngs = {}
+    if train and rng is not None:
+        rngs = {"dropout": rng}
+
+    # --- Embedder ---------------------------------------------------------
+    emb_vars = {"params": params["embedder"],
+                "batch_stats": batch_stats["embedder"]}
+    mutable = ["batch_stats"] if train else []
+    if finetune:
+        # Identity path disabled (reference embedders/...segmentation.py:34,
+        # 60-63); the per-avatar embedding comes from the train state.
+        out = embedder.apply(
+            emb_vars, batch["pose_input_rgbs"], train=train,
+            method="get_pose_embedding", rngs=rngs, mutable=mutable)
+        pose_embedding, mut = out if mutable else (out, {})
+        bsz = batch["pose_input_rgbs"].shape[0]
+        embeds = jnp.broadcast_to(params["finetune_embedding"],
+                                  (bsz,) + params["finetune_embedding"].shape[1:])
+        embeds_elemwise = None
+    else:
+        out = embedder.apply(
+            emb_vars, batch["enc_rgbs"], batch["pose_input_rgbs"],
+            train=train, rngs=rngs, mutable=mutable)
+        (embeds, embeds_elemwise, pose_embedding), mut = (
+            out if mutable else (out, {}))
+    if mutable and mut:
+        new_batch_stats["embedder"] = mut["batch_stats"]
+    data_dict["embeds"] = embeds
+    data_dict["embeds_elemwise"] = embeds_elemwise
+    data_dict["pose_embedding"] = pose_embedding
+
+    # --- Generator --------------------------------------------------------
+    gen_vars = {"params": params["generator"],
+                "spectral": spectral["generator"]}
+    (fake_rgbs, fake_segm), mut = generator.apply(
+        gen_vars, embeds, pose_embedding, update_stats=update_stats,
+        mutable=["spectral"])
+    new_spectral["generator"] = mut["spectral"]
+    data_dict["fake_rgbs"] = fake_rgbs
+    data_dict["fake_segm"] = fake_segm
+
+    if not compute_losses:
+        return data_dict, new_batch_stats, new_spectral
+
+    # --- Discriminator: 3 passes, reference order (no_landmarks.py:138-166)
+    d_params = params["discriminator"]
+    d_params_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, d_params)
+    spec_d = spectral["discriminator"]
+    sg = jax.lax.stop_gradient
+
+    target_rgbs = batch["target_rgbs"]
+    if target_rgbs.ndim > 4:
+        target_rgbs = target_rgbs[:, 0]
+    label = batch["label"]
+
+    def embed_lookup(p, spec, upd):
+        out, mut_ = discriminator.apply(
+            {"params": p, "spectral": spec}, label, update_stats=upd,
+            method="embed_labels", mutable=["spectral"])
+        return out, mut_["spectral"]
+
+    def dis_pass(p, spec, x, embed_vec, upd):
+        (score, feats), mut_ = discriminator.apply(
+            {"params": p, "spectral": spec}, x, embed_vec,
+            update_stats=upd, method="pass_inputs", mutable=["spectral"])
+        return score, feats, mut_["spectral"]
+
+    # Embedding rows: looked up once with live D params (one PI update).
+    embed_rows, spec_d = embed_lookup(d_params, spec_d, update_stats)
+
+    # Pass 1 — fake through the G graph: grads flow into the generator side
+    # only, so D params and the projection rows are stop-gradiented
+    # (equivalent to torch's discarded D-grads from loss_G.backward()).
+    fake_score_G, fake_features, spec_d = dis_pass(
+        d_params_sg, spec_d, fake_rgbs, sg(embed_rows), update_stats)
+
+    # Pass 2 — fake detached, live D trunk, detached rows (reference
+    # ``pass_inputs(fake_in.detach(), embed.detach())``).
+    fake_score_D, _, spec_d = dis_pass(
+        d_params, spec_d, sg(fake_rgbs), sg(embed_rows), update_stats)
+
+    # Pass 3 — real, live D params + rows.
+    real_score, real_features, spec_d = dis_pass(
+        d_params, spec_d, target_rgbs, embed_rows, update_stats)
+
+    new_spectral["discriminator"] = spec_d
+    data_dict["fake_features"] = fake_features
+    data_dict["real_features"] = real_features
+    data_dict["real_embedding"] = embed_rows
+    data_dict["fake_score_G"] = fake_score_G
+    data_dict["fake_score_D"] = fake_score_D
+    # Live for loss_D; stop-gradiented alias for any loss_G use (rgan/ragan).
+    data_dict["real_score"] = real_score
+    data_dict["real_score_for_G"] = sg(real_score)
+
+    return data_dict, new_batch_stats, new_spectral
+
+
+def apply_criteria(criteria, data_dict):
+    """Accumulate loss_G / loss_D dicts (reference ``holycow.py:176-201``)."""
+    losses_G: Dict[str, jnp.ndarray] = {}
+    losses_D: Dict[str, jnp.ndarray] = {}
+    for criterion in criteria:
+        out = criterion(data_dict)
+        if isinstance(out, tuple):
+            g, d = out
+            losses_G.update(g)
+            losses_D.update(d)
+        else:
+            losses_G.update(out)
+    return losses_G, losses_D
+
+
+def make_train_step(models, criteria, args, opt_g, opt_d, donate=False):
+    """Build the jitted train step.
+
+    state, batch, rng -> (new_state, scalars) where scalars carries every
+    individual loss term (reference per-iteration TB scalars).
+    """
+    finetune = bool(args.finetune)
+    ema_alpha = 0.972 if finetune else 0.999  # reference holycow.py:257
+    train_mode = not args.set_eval_mode_in_train
+
+    def loss_fn(trainable, params, batch_stats, spectral, batch, rng):
+        full_params = merge_trainable(params, trainable["g"], trainable["d"])
+        data_dict, new_bs, new_spec = forward(
+            models, full_params, batch_stats, spectral, batch, rng=rng,
+            train=train_mode, finetune=finetune, update_stats=True)
+        losses_G, losses_D = apply_criteria(criteria, data_dict)
+        loss_G = sum(losses_G.values())
+        loss_D = sum(losses_D.values()) if losses_D else jnp.float32(0)
+        total = loss_G + loss_D
+        scalars = {f"Loss_{k}": v for k, v in {**losses_G,
+                                               **losses_D}.items()}
+        scalars["loss_G"] = loss_G
+        scalars["loss_D"] = loss_D
+        return total, (scalars, new_bs, new_spec)
+
+    def train_step(state: TrainState, batch, rng):
+        trainable = {"g": g_trainable(state.params, finetune),
+                     "d": d_trainable(state.params)}
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (scalars, new_bs, new_spec)), grads = grad_fn(
+            trainable, state.params, state.batch_stats, state.spectral,
+            batch, rng)
+
+        updates_g, opt_state_g = opt_g.update(
+            grads["g"], state.opt_state_g, trainable["g"])
+        new_g = optax.apply_updates(trainable["g"], updates_g)
+
+        updates_d, opt_state_d = opt_d.update(
+            grads["d"], state.opt_state_d, trainable["d"])
+        new_d = optax.apply_updates(trainable["d"], updates_d)
+
+        new_params = merge_trainable(state.params, new_g, new_d)
+
+        # EMA over embedder + generator params (reference holycow.py:99-109);
+        # buffers (batch_stats) are copied, i.e. shared with the live model.
+        def ema_update(avg, p):
+            return jax.tree_util.tree_map(
+                lambda a, b: a * ema_alpha + b * (1.0 - ema_alpha), avg, p)
+
+        new_ema = {k: ema_update(state.ema_params[k], new_params[k])
+                   for k in state.ema_params}
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            spectral=new_spec,
+            opt_state_g=opt_state_g,
+            opt_state_d=opt_state_d,
+            ema_params=new_ema,
+        )
+        return new_state, scalars
+
+    # Donating the state buffers halves peak HBM in the real training loop;
+    # tests keep the old state alive for comparisons, so it's opt-in.
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
