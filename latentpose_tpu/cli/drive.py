@@ -1,0 +1,121 @@
+"""Drive (inference) entry point — parity with reference ``drive.py``.
+
+Loads a fine-tuned checkpoint (EMA weights), then for every driver sequence
+renders the avatar side-by-side with the driver into an mp4:
+
+    python drive.py CHECKPOINT_PATH [DATA_ROOT] \
+        --images_paths dir_or_video [...] --destination out_dir
+
+Driver sources: a directory of images, a video file, or ``synthetic://K``
+(procedural driver identity K — hermetic testing).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+
+import numpy as np
+import jax
+
+from latentpose_tpu import checkpoint as ckpt_lib
+from latentpose_tpu.config import build_core_parser, get_args_and_modules
+from latentpose_tpu.runners import build, drive as drive_lib, finetune as ft
+from latentpose_tpu.utils.video import get_image_writer, to_uint8
+
+logger = logging.getLogger("drive")
+
+
+def load_driver_frames(path, image_size):
+    """Load a driver sequence as (N, H, W, 3) float32 in [0, 1]."""
+    if str(path).startswith("synthetic://"):
+        from latentpose_tpu.data.synthetic import render_face
+        label = int(str(path).split("://", 1)[1])
+        return np.stack([render_face(label, f, image_size)[0]
+                         for f in range(32)])
+
+    path = Path(path)
+    frames = []
+    if path.is_dir():
+        import cv2
+        for p in sorted(path.iterdir()):
+            if p.suffix.lower() not in (".jpg", ".jpeg", ".png", ".bmp"):
+                continue
+            img = cv2.imread(str(p))[..., ::-1]
+            img = cv2.resize(img, (image_size, image_size))
+            frames.append(img.astype(np.float32) / 255.0)
+    else:
+        import cv2
+        cap = cv2.VideoCapture(str(path))
+        while True:
+            ok, img = cap.read()
+            if not ok:
+                break
+            img = cv2.resize(img[..., ::-1], (image_size, image_size))
+            frames.append(img.astype(np.float32) / 255.0)
+        cap.release()
+    if not frames:
+        raise FileNotFoundError(f"No frames found in {path}")
+    return np.stack(frames)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    parser = build_core_parser()
+    parser.add("--images_paths", type=str, nargs="+", default=[])
+    parser.add("--destination", type=str, default="driving_results")
+    parser.add("--drive_batch_size", type=int, default=32)
+
+    # Reference CLI takes the checkpoint positionally; rewrite it to
+    # --checkpoint_path *before* resolution so the saved args merge in
+    # (resolution level 2).
+    import sys
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and not argv[0].startswith("-"):
+        argv = ["--checkpoint_path", argv.pop(0)] + argv
+
+    args, _, modules, _ = get_args_and_modules(parser, argv=argv)
+    if not args.checkpoint_path or not os.path.exists(
+            os.path.join(args.checkpoint_path, "meta.json")):
+        raise FileNotFoundError(
+            f"Checkpoint `{args.checkpoint_path}` not found — drive needs a "
+            "fine-tuned checkpoint")
+    # inference overrides (reference drive.py:48-59)
+    args.finetune = True
+    args.inference = True
+
+    rng = jax.random.PRNGKey(args.random_seed)
+    models = build.build_models(args, modules)
+    models["discriminator"] = ft.make_finetune_discriminator(
+        modules["discriminators"].Wrapper, args)
+    opt_g, opt_d = build.build_optimizers(args, modules)
+    skeleton = build.init_train_state(args, models, opt_g, opt_d, rng,
+                                      finetune=True)
+    state = ckpt_lib.restore_state(args.checkpoint_path, skeleton)
+    logger.info("Loaded fine-tuned checkpoint %s (iteration %d)",
+                args.checkpoint_path, int(state.step))
+
+    drive_fn = drive_lib.make_drive_fn(models, args, use_ema=True)
+
+    os.makedirs(args.destination, exist_ok=True)
+    results = []
+    for images_path in args.images_paths:
+        frames = load_driver_frames(images_path, args.image_size)
+        outputs = drive_lib.drive_sequence(
+            drive_fn, state, frames, batch_size=args.drive_batch_size)
+
+        name = str(images_path).replace("://", "_").replace("/", "_")
+        dest = Path(args.destination) / f"{name}.mp4"
+        writer = get_image_writer(dest)
+        for driver, result in zip(frames, outputs):
+            side_by_side = np.concatenate([driver, result], axis=1)
+            writer.add(to_uint8(side_by_side))
+        writer.close()
+        logger.info("Wrote %s (%d frames)", dest, len(frames))
+        results.append(dest)
+    return results
+
+
+if __name__ == "__main__":
+    main()

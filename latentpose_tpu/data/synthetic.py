@@ -123,6 +123,9 @@ class SyntheticDataLoader:
             1, num_labels // batch_size)
         self.deterministic = False
         self.epoch = 0
+        # discriminator label-matrix height (1 when fine-tuning, reference
+        # voxceleb.py:83-99)
+        self.num_labels = 1 if finetune else num_labels
 
     def __len__(self):
         return self.steps_per_epoch

@@ -1,0 +1,4 @@
+from latentpose_tpu.parallel.mesh import (create_mesh, replicate,
+                                          shard_batch)
+
+__all__ = ["create_mesh", "replicate", "shard_batch"]

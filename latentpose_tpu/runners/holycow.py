@@ -82,26 +82,29 @@ def forward(models, params, batch_stats, spectral, batch,
     # --- Embedder ---------------------------------------------------------
     emb_vars = {"params": params["embedder"],
                 "batch_stats": batch_stats["embedder"]}
-    mutable = ["batch_stats"] if train else []
+
+    def apply_embedder(*inputs, method=None):
+        if train:  # BN running stats update (torch train-mode buffers)
+            out, mut = embedder.apply(emb_vars, *inputs, train=True,
+                                      method=method, rngs=rngs,
+                                      mutable=["batch_stats"])
+            new_batch_stats["embedder"] = mut["batch_stats"]
+            return out
+        return embedder.apply(emb_vars, *inputs, train=False, method=method)
+
     if finetune:
         # Identity path disabled (reference embedders/...segmentation.py:34,
         # 60-63); the per-avatar embedding comes from the train state.
-        out = embedder.apply(
-            emb_vars, batch["pose_input_rgbs"], train=train,
-            method="get_pose_embedding", rngs=rngs, mutable=mutable)
-        pose_embedding, mut = out if mutable else (out, {})
+        pose_embedding = apply_embedder(batch["pose_input_rgbs"],
+                                        method="get_pose_embedding")
         bsz = batch["pose_input_rgbs"].shape[0]
-        embeds = jnp.broadcast_to(params["finetune_embedding"],
-                                  (bsz,) + params["finetune_embedding"].shape[1:])
+        embeds = jnp.broadcast_to(
+            params["finetune_embedding"],
+            (bsz,) + params["finetune_embedding"].shape[1:])
         embeds_elemwise = None
     else:
-        out = embedder.apply(
-            emb_vars, batch["enc_rgbs"], batch["pose_input_rgbs"],
-            train=train, rngs=rngs, mutable=mutable)
-        (embeds, embeds_elemwise, pose_embedding), mut = (
-            out if mutable else (out, {}))
-    if mutable and mut:
-        new_batch_stats["embedder"] = mut["batch_stats"]
+        embeds, embeds_elemwise, pose_embedding = apply_embedder(
+            batch["enc_rgbs"], batch["pose_input_rgbs"])
     data_dict["embeds"] = embeds
     data_dict["embeds_elemwise"] = embeds_elemwise
     data_dict["pose_embedding"] = pose_embedding

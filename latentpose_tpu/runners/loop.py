@@ -1,0 +1,97 @@
+"""Epoch loop — the host-side orchestration around the jitted train step.
+
+Parity with reference ``runners/holycow.py:212-402``: per-iteration scalar
+logging via Meter, periodic EMA-weights visualization, Data_time/Batch_time
+meters, iteration counter semantics.  The compute (G step, D step, EMA, all
+losses) is entirely inside the jitted step; this loop only feeds batches and
+logs.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import numpy as np
+
+from latentpose_tpu.parallel.mesh import shard_batch
+from latentpose_tpu.runners.holycow import forward
+from latentpose_tpu.utils.meter import Meter
+from latentpose_tpu.utils.visualize import make_visual
+
+logger = logging.getLogger("latentpose_tpu.loop")
+
+
+def make_eval_forward(models, args):
+    """No-loss forward with EMA weights for visualization (reference
+    ``set_use_running_averages`` + ``set_compute_losses(False)``)."""
+    finetune = bool(args.finetune)
+    train_mode = not args.set_eval_mode_in_test
+
+    def eval_forward(state, batch):
+        params = dict(state.params)
+        params["embedder"] = state.ema_params.get(
+            "embedder", params["embedder"])
+        params["generator"] = state.ema_params.get(
+            "generator", params["generator"])
+        if finetune and "finetune_embedding" in state.ema_params:
+            params["finetune_embedding"] = \
+                state.ema_params["finetune_embedding"]
+        data_dict, _, _ = forward(
+            models, params, state.batch_stats, state.spectral, batch,
+            rng=None, train=train_mode, finetune=finetune,
+            update_stats=False, compute_losses=False)
+        return {"fake_rgbs": data_dict["fake_rgbs"],
+                "fake_segm": data_dict["fake_segm"],
+                "pose_embedding": data_dict["pose_embedding"]}
+
+    return jax.jit(eval_forward)
+
+
+def run_epoch(dataloader, step_fn, state, args, epoch, rng,
+              mesh=None, writer=None, eval_forward=None):
+    """Train one epoch; returns the new state."""
+    meter = Meter()
+    end = time.time()
+
+    for it, (data_dict, target_dict) in enumerate(dataloader):
+        meter.add("Data_time", time.time() - end)
+        batch = {**data_dict, **target_dict}
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+
+        step_rng = jax.random.fold_in(rng, int(args.iteration))
+        state, scalars = step_fn(state, batch, step_rng)
+
+        if args.detailed_metrics:
+            for name, value in scalars.items():
+                meter.add(name, float(value))
+
+        if writer is not None:
+            if args.iteration % args.log_frequency_loss == 0:
+                for metric in meter.keys():
+                    writer.add_scalar(f"Metrics/train/{metric}",
+                                      meter.get_last(metric), args.iteration)
+            if (args.iteration % args.log_frequency_images == 0
+                    and eval_forward is not None):
+                outputs = eval_forward(state, batch)
+                visual_dict = {**batch,
+                               **{k: np.asarray(v)
+                                  for k, v in outputs.items()}}
+                grid, captions = make_visual(
+                    visual_dict, n_samples=args.num_visuals_per_img)
+                writer.add_image("Images/train/visual", grid, captions,
+                                 args.iteration)
+            args.iteration += 1
+        else:
+            args.iteration += 1
+
+        meter.add("Batch_time", time.time() - end)
+        end = time.time()
+
+    logger.info("Epoch %d finished (loss_G=%.4f loss_D=%.4f, %.3fs/it)",
+                epoch, meter.get_average("loss_G"),
+                meter.get_average("loss_D"),
+                meter.get_average("Batch_time"))
+    return state

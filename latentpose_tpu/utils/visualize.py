@@ -1,0 +1,62 @@
+"""Visualization grids — parity with reference ``utils/visualize.py:10-72``.
+
+Row layout per sample: identity source | pose source | generator output |
+true segm | predicted segm | [cross-driving columns for each suffix:
+driver + output for '_other_video' (same person, other video) and
+'_other_person'].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _to_numpy_img(x):
+    x = np.asarray(x, np.float32)
+    if x.ndim == 4:  # (T, H, W, C) -> first frame
+        x = x[0]
+    if x.shape[-1] == 1:
+        x = np.repeat(x, 3, axis=-1)
+    return np.clip(x, 0.0, 1.0)
+
+
+def make_visual(data_dict, n_samples=2):
+    """Build (grid (H*, W*, 3), captions) from a populated data_dict."""
+    suffixes = [""]
+    for suffix in ("_other_video", "_other_person"):
+        if ("fake_rgbs" + suffix) in data_dict:
+            suffixes.append(suffix)
+
+    rows = []
+    captions = []
+    batch = np.asarray(data_dict["fake_rgbs"]).shape[0]
+    for n in range(min(n_samples, batch)):
+        cols = []
+        caption = []
+        if data_dict.get("enc_rgbs") is not None:
+            cols.append(_to_numpy_img(np.asarray(data_dict["enc_rgbs"])[n]))
+            caption.append("identity src")
+        for suffix in suffixes:
+            pose_key = "pose_input_rgbs" + suffix
+            if data_dict.get(pose_key) is not None:
+                cols.append(_to_numpy_img(np.asarray(data_dict[pose_key])[n]))
+                caption.append("pose src" + suffix)
+            cols.append(_to_numpy_img(np.asarray(
+                data_dict["fake_rgbs" + suffix])[n]))
+            caption.append("generated" + suffix)
+            if suffix == "":
+                if data_dict.get("real_segm") is not None:
+                    cols.append(_to_numpy_img(
+                        np.asarray(data_dict["real_segm"])[n]))
+                    caption.append("true segm")
+                if data_dict.get("fake_segm") is not None:
+                    cols.append(_to_numpy_img(
+                        np.asarray(data_dict["fake_segm"])[n]))
+                    caption.append("pred segm")
+        rows.append(np.concatenate(cols, axis=1))
+        captions.append(" | ".join(caption))
+
+    width = max(r.shape[1] for r in rows)
+    rows = [np.pad(r, ((0, 0), (0, width - r.shape[1]), (0, 0)))
+            for r in rows]
+    return np.concatenate(rows, axis=0), captions
