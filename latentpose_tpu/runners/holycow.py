@@ -200,6 +200,30 @@ def make_train_step(models, criteria, args, opt_g, opt_d, donate=False):
     finetune = bool(args.finetune)
     ema_alpha = 0.972 if finetune else 0.999  # reference holycow.py:257
     train_mode = not args.set_eval_mode_in_train
+    use_pix = bool(getattr(args, "use_pixelwise_augs", False))
+    use_scale = bool(getattr(args, "use_affine_scale", False))
+    use_shift = bool(getattr(args, "use_affine_shift", False))
+
+    def maybe_augment(batch, key):
+        """On-device (driver, target, segm) augmentation — replaces the
+        reference's host-side imgaug augment_triplet (see
+        data/augmentation.py)."""
+        if not (use_pix or use_scale or use_shift):
+            return batch
+        if "target_rgbs" not in batch or "real_segm" not in batch:
+            return batch
+        from latentpose_tpu.data.augmentation import augment_triplet
+        driver = batch["pose_input_rgbs"][:, 0]
+        target = batch["target_rgbs"]
+        target = target[:, 0] if target.ndim > 4 else target
+        segm = batch["real_segm"]
+        segm = segm[:, 0] if segm.ndim > 4 else segm
+        driver, target, segm = augment_triplet(
+            key, driver, target, segm, use_pixelwise=use_pix,
+            use_scale=use_scale, use_shift=use_shift)
+        return {**batch, "pose_input_rgbs": driver[:, None],
+                "target_rgbs": target[:, None],
+                "real_segm": segm[:, None]}
 
     def loss_fn(trainable, params, batch_stats, spectral, batch, rng):
         full_params = merge_trainable(params, trainable["g"], trainable["d"])
@@ -217,6 +241,8 @@ def make_train_step(models, criteria, args, opt_g, opt_d, donate=False):
         return total, (scalars, new_bs, new_spec)
 
     def train_step(state: TrainState, batch, rng):
+        rng_aug, rng = jax.random.split(rng)
+        batch = maybe_augment(batch, rng_aug)
         trainable = {"g": g_trainable(state.params, finetune),
                      "d": d_trainable(state.params)}
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

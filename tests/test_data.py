@@ -1,0 +1,139 @@
+"""Data layer tests: VoxCeleb2 tree loading, cropping, augmentation."""
+
+import os
+
+import numpy as np
+import pytest
+
+from latentpose_tpu.data.common import crop as crop_lib
+
+
+@pytest.fixture(scope="module")
+def fake_voxceleb_tree(tmp_path_factory):
+    """Fabricate a preprocessed VoxCeleb2 tree with 3 identities x 1 video
+    x 12 frames + segmentations + a bboxes dict."""
+    import cv2
+    root = tmp_path_factory.mktemp("voxdata")
+    bboxes = {}
+    for ident in ("id00001", "id00002", "id00003"):
+        bboxes[ident] = {}
+        for video in ("videoA",):
+            img_dir = root / "images-cropped" / ident / video
+            segm_dir = root / "segmentation-cropped" / ident / video
+            img_dir.mkdir(parents=True)
+            segm_dir.mkdir(parents=True)
+            boxes = []
+            for f in range(12):
+                rng = np.random.RandomState(hash((ident, f)) % 2**31)
+                img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+                cv2.imwrite(str(img_dir / f"{f:05d}.jpg"), img)
+                segm = np.zeros((64, 64, 3), np.uint8)
+                segm[16:48, 16:48] = 255
+                cv2.imwrite(str(segm_dir / f"{f:05d}.png"), segm)
+                boxes.append([40, 40, 216, 216])  # l, t, r, b in 256-space
+            bboxes[ident][video] = np.array(boxes, np.float32)
+    np.save(root / "bboxes.npy", bboxes, allow_pickle=True)
+    return root
+
+
+def make_args(root, finetune=False, **over):
+    import types
+    args = types.SimpleNamespace(
+        data_root=str(root), img_dir="images-cropped",
+        kp_dir="keypoints-cropped", segm_dir="segmentation-cropped",
+        bboxes_dir=str(root / "bboxes.npy"),
+        train_split_path="nonexistent.csv", val_split_path="nonexistent.csv",
+        finetune=finetune, checkpoint_path="", num_labels=0, inference=False,
+        image_size=32, batch_size=2, num_workers=2, prefetch_size=4,
+        random_seed=0, draw_oval=True, n_frames_for_encoder=3,
+        use_pixelwise_augs=False, use_affine_scale=False,
+        use_affine_shift=False)
+    for k, v in over.items():
+        setattr(args, k, v)
+    return args
+
+
+def test_meta_loader_contract(fake_voxceleb_tree):
+    from latentpose_tpu.data import voxceleb2_segmentation_nolandmarks as ds
+    args = make_args(fake_voxceleb_tree)
+    loader = ds.Wrapper.get_dataloader(args, "train")
+    assert loader.num_labels == 3
+    assert args.num_labels == 3
+    data, target = next(iter(loader))
+    assert data["enc_rgbs"].shape == (2, 3, 32, 32, 3)
+    assert data["pose_input_rgbs"].shape == (2, 1, 32, 32, 3)
+    assert data["target_rgbs"].shape == (2, 1, 32, 32, 3)
+    assert target["real_segm"].shape == (2, 1, 32, 32, 1)
+    assert target["label"].dtype == np.int32
+    # target is masked by segmentation: corners (outside head box) ~ 0
+    assert float(np.abs(data["target_rgbs"][:, :, :4, :4]).max()) < 0.25
+    assert data["enc_rgbs"].min() >= 0.0 and data["enc_rgbs"].max() <= 1.0
+
+
+def test_finetune_loader_lists_images(fake_voxceleb_tree):
+    from latentpose_tpu.data import voxceleb2_segmentation_nolandmarks as ds
+    args = make_args(fake_voxceleb_tree, finetune=True,
+                     train_split_path="id00001/videoA")
+    loader = ds.Wrapper.get_dataloader(args, "train")
+    assert args.num_labels == 1
+    assert len(loader.dataset) == 12  # every image of the single identity
+    data, target = next(iter(loader))
+    # identity == driver == target source (single image)
+    np.testing.assert_allclose(data["enc_rgbs"][:, 0],
+                               data["pose_input_rgbs"][:, 0])
+    assert (target["label"] == 0).all()
+
+
+def test_bbox_integer_coords_square():
+    t, l, b, r = crop_lib.bbox_to_integer_coords(0.1, 0.2, 0.5, 0.6, 64, 64)
+    assert (b - t) == (r - l)
+
+
+def test_crop_with_padding_out_of_bounds():
+    img = (np.random.rand(32, 32, 3) * 255).astype(np.uint8)
+    out = crop_lib.crop_with_padding(img, -8, -8, 40, 40)
+    assert out.shape == (48, 48, 3)
+    # deep interior preserved exactly (the algorithm deliberately blurs a
+    # band just inside the original border: mask*3+1 > 0 there)
+    np.testing.assert_array_equal(out[16:36, 16:36], img[8:28, 8:28])
+    # padded corner is not raw reflection: blur+fade changed it
+    reflected = np.pad(img, ((8, 8), (8, 8), (0, 0)), mode="reflect")
+    assert np.abs(out[:8, :8].astype(int)
+                  - reflected[:8, :8].astype(int)).mean() > 2
+
+
+def test_crop_with_padding_segmentation_zero_top():
+    segm = np.full((32, 32), 255, np.uint8)
+    out = crop_lib.crop_with_padding(segm, -8, 0, 32, 32, segmentation=True)
+    assert out.shape == (40, 32)
+    assert out[0].max() == 0  # top pad fades from zero
+
+
+def test_augment_triplet_shift_consistency():
+    import jax
+    from latentpose_tpu.data.augmentation import augment_triplet
+    key = jax.random.PRNGKey(3)
+    # target encodes coordinates; segm = mask; both must shift identically
+    b, h = 4, 16
+    target = np.tile(np.linspace(0, 1, h)[None, :, None, None],
+                     (b, 1, h, 3)).astype(np.float32)
+    segm = np.array(target[..., :1] > 0.5, np.float32)
+    driver = np.asarray(
+        jax.random.uniform(key, (b, h, h, 3)), np.float32)
+    d2, t2, s2 = augment_triplet(key, driver, target, segm,
+                                 use_shift=True)
+    # where segm says "on", target must still be > ~0.5 (same warp applied)
+    on = np.asarray(s2[..., 0]) > 0.95
+    assert np.asarray(t2)[..., 0][on].min() > 0.4
+
+
+def test_pixelwise_augment_stays_in_range():
+    import jax
+    from latentpose_tpu.data.augmentation import pixelwise_augment
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (8, 16, 16, 3))
+    out = pixelwise_augment(key, imgs)
+    assert out.shape == imgs.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    # with 7 ops at p=0.5 each, some sample must have changed
+    assert float(np.abs(np.asarray(out) - np.asarray(imgs)).max()) > 1e-4
