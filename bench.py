@@ -48,8 +48,9 @@ def main():
     emb_vars = embedder.init(
         rng, jnp.zeros((1, 1, image_size, image_size, 3)),
         jnp.zeros((1, 1, image_size, image_size, 3)))
-    gen_vars = generator.init(rng, jnp.zeros((1, 512)),
-                              jnp.zeros((1, 256)))
+    gen_vars = generator.init(
+        rng, {"embeds": jnp.zeros((1, 512)),
+              "pose_embedding": jnp.zeros((1, 256))})
     identity = jax.random.normal(rng, (1, 512))
 
     cd = jnp.bfloat16
@@ -59,8 +60,10 @@ def main():
         pose = embedder.apply(emb_vars, frames.astype(cd)[:, None],
                               train=False, method="get_pose_embedding")
         idt = jnp.broadcast_to(identity, (frames.shape[0], 512))
-        rgbs, _ = generator.apply(gen_vars, idt.astype(cd),
-                                  pose.astype(cd), update_stats=False)
+        rgbs, _ = generator.apply(
+            gen_vars, {"embeds": idt.astype(cd),
+                       "pose_embedding": pose.astype(cd)},
+            update_stats=False)
         return rgbs.astype(jnp.float32)
 
     frames = jax.device_put(

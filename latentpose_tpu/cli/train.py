@@ -101,7 +101,8 @@ def main(argv=None):
             models, state, dataloader_train, args)
         models, state = ft.enable_finetuning(
             state, models, modules["discriminators"].Wrapper, args,
-            e_hat, opt_g, opt_d, rng)
+            e_hat, opt_g, opt_d, rng,
+            gen_wrapper=modules["generators"].Wrapper)
         args.num_labels = 1
 
     writer = None

@@ -1,0 +1,43 @@
+"""FSTH discriminator (reference ``discriminators/FSTH.py``): identical to
+the flagship projection discriminator, but the scored input is
+concat(driver stickman, rgb) (``:158-164``)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+from latentpose_tpu.models.discriminators import no_landmarks
+
+
+class Wrapper:
+    @staticmethod
+    def get_args(parser):
+        parser.add("--dis_padding", type=str, default="zero")
+        parser.add("--dis_num_blocks", type=int, default=7)
+        parser.add("--lr_dis", type=float, default=2e-4)
+
+    @staticmethod
+    def get_net(args):
+        return Discriminator(
+            padding=args.dis_padding,
+            in_channels=args.in_channels + args.out_channels,
+            num_channels=args.num_channels,
+            max_num_channels=args.max_num_channels,
+            embed_channels=args.embed_channels,
+            num_blocks=args.dis_num_blocks,
+            image_size=args.image_size,
+            num_labels=args.num_labels,
+        )
+
+    get_optimizer = no_landmarks.Wrapper.get_optimizer
+
+
+class Discriminator(no_landmarks.Discriminator):
+    @staticmethod
+    def make_input(batch, rgbs):
+        rgbs = rgbs if rgbs.ndim == 4 else rgbs[:, 0]
+        stickman = batch["dec_stickmen"]
+        if stickman.ndim > 4:
+            stickman = stickman[:, 0]
+        return jnp.concatenate([stickman, rgbs], axis=-1)

@@ -74,6 +74,13 @@ class Discriminator(nn.Module):
     num_labels: int = 1
     dtype: Any = None
 
+    @staticmethod
+    def make_input(batch, rgbs):
+        """Discriminator-plugin protocol: assemble the pass input from the
+        batch + (fake or real) rgbs.  This family scores RGB alone
+        (reference no_landmarks.py:138-153)."""
+        return rgbs if rgbs.ndim == 4 else rgbs[:, 0]
+
     def _plan(self):
         """Static block plan: list of (in_ch, out_ch, downsample)."""
         num_down = min(int(math.log2(self.image_size)) - 2, self.num_blocks)

@@ -50,6 +50,8 @@ class _Tower(nn.Module):
 
 
 class Embedder(nn.Module):
+    INPUT_KEYS = ("enc_rgbs", "pose_input_rgbs")
+
     identity_embedding_size: int = 512
     pose_embedding_size: int = 256
     average_function: str = "sum"

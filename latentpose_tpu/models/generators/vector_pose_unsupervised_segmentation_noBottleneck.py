@@ -108,13 +108,20 @@ class Generator(nn.Module):
         _, feats, _ = self._schedule()
         return sum(2 * f for f in feats)
 
+    # Uniform generator-plugin protocol: which data_dict keys feed forward.
+    INPUT_KEYS = ("embeds", "pose_embedding")
+    # What the fine-tune re-parameterization trains (reference :139-163:
+    # the identity embedding itself becomes the trainable parameter).
+    FINETUNE_PARAM = "embedding"
+
     @nn.compact
-    def __call__(self, identity_embedding, pose_embedding,
-                 update_stats: bool = False):
-        """identity_embedding: (B, 512); pose_embedding: (B, 256).
+    def __call__(self, inputs, update_stats: bool = False):
+        """inputs: dict with 'embeds' (B, 512) and 'pose_embedding' (B, 256).
 
         Returns (fake_rgbs, fake_segm): (B, H, W, 3) and (B, H, W, 1).
         """
+        identity_embedding = inputs["embeds"]
+        pose_embedding = inputs["pose_embedding"]
         blocks, adain_features, head_ch = self._schedule()
         batch = pose_embedding.shape[0]
 

@@ -43,15 +43,28 @@ def init_variables(args, models, rng):
     h = w = args.image_size
     rng_e, rng_g, rng_d = jax.random.split(rng, 3)
 
-    enc = jnp.zeros((1, 1, h, w, 3), jnp.float32)
-    pose_in = jnp.zeros((1, 1, h, w, 3), jnp.float32)
-    emb_vars = models["embedder"].init(rng_e, enc, pose_in)
+    frame_shapes = {
+        "enc_rgbs": (1, 1, h, w, 3),
+        "pose_input_rgbs": (1, 1, h, w, 3),
+        "enc_stickmen": (1, 1, h, w, 3),
+    }
+    emb_inputs = [jnp.zeros(frame_shapes[k], jnp.float32)
+                  for k in models["embedder"].INPUT_KEYS]
+    emb_vars = models["embedder"].init(rng_e, *emb_inputs)
 
-    idt = jnp.zeros((1, args.embed_channels), jnp.float32)
-    pose = jnp.zeros((1, args.pose_embedding_size), jnp.float32)
-    gen_vars = models["generator"].init(rng_g, idt, pose)
+    gen_inputs = {
+        "embeds": jnp.zeros((1, args.embed_channels), jnp.float32),
+        "pose_embedding": jnp.zeros((1, args.pose_embedding_size),
+                                    jnp.float32),
+        "dec_stickmen": jnp.zeros((1, 1, h, w, 3), jnp.float32),
+        "dec_keypoints": jnp.zeros((1, 1, 136), jnp.float32),
+    }
+    gen_inputs = {k: v for k, v in gen_inputs.items()
+                  if k in models["generator"].INPUT_KEYS}
+    gen_vars = models["generator"].init(rng_g, gen_inputs)
 
-    img = jnp.zeros((1, h, w, 3), jnp.float32)
+    dis_in = getattr(models["discriminator"], "in_channels", 3)
+    img = jnp.zeros((1, h, w, dis_in), jnp.float32)
     labels = jnp.zeros((1,), jnp.int32)
     dis_vars = models["discriminator"].init(rng_d, img, labels)
 
@@ -75,7 +88,8 @@ def init_train_state(args, models, opt_g, opt_d, rng,
         params["finetune_embedding"] = finetune_embedding
 
     batch_stats = {"embedder": emb_vars.get("batch_stats", {})}
-    spectral = {"generator": gen_vars["spectral"],
+    spectral = {"embedder": emb_vars.get("spectral", {}),
+                "generator": gen_vars["spectral"],
                 "discriminator": dis_vars["spectral"]}
 
     ema_params = {"embedder": copy.deepcopy(params["embedder"]),

@@ -51,10 +51,12 @@ def make_drive_fn(models, args, use_ema: bool = True):
 
         bsz = pose_frames.shape[0]
         idt = jnp.broadcast_to(identity, (bsz,) + identity.shape[1:])
+        gen_inputs = {"embeds": idt.astype(compute_dtype),
+                      "pose_embedding": pose.astype(compute_dtype)}
         rgbs, segm = generator.apply(
             {"params": gen_params, "spectral": state.spectral["generator"]},
-            idt.astype(compute_dtype), pose.astype(compute_dtype),
-            update_stats=False)
+            gen_inputs, update_stats=False)
+        segm = jnp.ones_like(rgbs[..., :1]) if segm is None else segm
         return rgbs.astype(jnp.float32), segm.astype(jnp.float32)
 
     return jax.jit(drive_step)

@@ -33,17 +33,27 @@ def compute_averaged_identity_embedding(models, state, dataloader, args):
     embedder = models["embedder"]
     emb_params = state.ema_params.get("embedder", state.params["embedder"])
     variables = {"params": emb_params,
-                 "batch_stats": state.batch_stats["embedder"]}
+                 "batch_stats": state.batch_stats["embedder"],
+                 "spectral": state.spectral.get("embedder", {})}
+    needs_stickmen = "enc_stickmen" in getattr(embedder, "INPUT_KEYS", ())
 
     @jax.jit
-    def embed(enc_rgbs):
-        _, elemwise = embedder.apply(variables, enc_rgbs, train=False,
-                                     method="get_identity_embedding")
+    def embed(enc_rgbs, enc_stickmen=None):
+        if needs_stickmen:
+            _, elemwise = embedder.apply(
+                variables, enc_rgbs, enc_stickmen, train=False,
+                method="get_identity_embedding")
+        else:
+            _, elemwise = embedder.apply(variables, enc_rgbs, train=False,
+                                         method="get_identity_embedding")
         return elemwise.reshape(-1, args.embed_channels)
 
     chunks = []
     for data_dict, _ in dataloader:
-        chunks.append(np.asarray(embed(jnp.asarray(data_dict["enc_rgbs"]))))
+        stick = data_dict.get("enc_stickmen")
+        chunks.append(np.asarray(embed(
+            jnp.asarray(data_dict["enc_rgbs"]),
+            jnp.asarray(stick) if stick is not None else None)))
     embedding = np.concatenate(chunks, axis=0).mean(axis=0)
     logger.info("Averaged identity embedding over %d frame-chunks",
                 len(chunks))
@@ -61,22 +71,38 @@ def make_finetune_discriminator(models_module_cls, args):
 
 
 def enable_finetuning(state: TrainState, models, dis_wrapper, args,
-                      identity_embedding, opt_g, opt_d, rng):
+                      identity_embedding, opt_g, opt_d, rng,
+                      gen_wrapper=None):
     """Produce (new_models, new_state) re-parameterized for fine-tuning.
 
     ``identity_embedding``: (1, embed_channels) = ê (or None for random init,
     parity with reference enable_finetuning(data_dict=None)).
+    ``gen_wrapper``: the generator plugin's Wrapper; if it defines
+    ``make_finetune_state`` (e.g. FSTH trains the packed AdaIN params), that
+    decides the per-avatar trainable leaves; default = the identity
+    embedding itself (flagship, reference generators/...noBottleneck.py:
+    139-163).
     """
     if identity_embedding is None:
         identity_embedding = jax.random.uniform(
             rng, (1, args.embed_channels))
+
+    if gen_wrapper is not None and hasattr(gen_wrapper,
+                                           "make_finetune_state"):
+        gen_variables = {"params": state.params["generator"],
+                         "spectral": state.spectral["generator"]}
+        finetune_leaves = gen_wrapper.make_finetune_state(
+            models["generator"], gen_variables, identity_embedding, rng)
+    else:
+        finetune_leaves = {"finetune_embedding": identity_embedding}
 
     new_models = dict(models)
     new_dis = make_finetune_discriminator(dis_wrapper, args)
     new_models["discriminator"] = new_dis
 
     # Fresh shapes for the 1-row embed matrix + its spectral state.
-    img = jnp.zeros((1, args.image_size, args.image_size, 3))
+    dis_in = getattr(new_dis, "in_channels", 3)
+    img = jnp.zeros((1, args.image_size, args.image_size, dis_in))
     dis_vars = new_dis.init(rng, img, jnp.zeros((1,), jnp.int32))
 
     # Copy every trunk param from the meta-trained discriminator; W := ê.
@@ -96,16 +122,20 @@ def enable_finetuning(state: TrainState, models, dis_wrapper, args,
 
     params = dict(state.params)
     params["discriminator"] = new_dis_params
-    params["finetune_embedding"] = jnp.array(identity_embedding, jnp.float32)
+    # NB: distinct buffers per leaf (the jitted step donates the state and
+    # XLA rejects a buffer donated twice).
+    for key, value in finetune_leaves.items():
+        params[key] = jnp.array(value, jnp.float32)
 
     spectral = dict(state.spectral)
     spectral["discriminator"] = new_dis_spectral
 
-    # EMA: generator + the avatar embedding follow the live weights
+    # EMA: generator + the avatar trainables follow the live weights
     # (reference running_averages['generator'].enable_finetuning —
     # ``train.py:267-272``); embedder EMA kept for the frozen pose encoder.
     ema = dict(state.ema_params)
-    ema["finetune_embedding"] = jnp.array(identity_embedding, jnp.float32)
+    for key, value in finetune_leaves.items():
+        ema[key] = jnp.array(value, jnp.float32)
 
     new_state = TrainState(
         step=state.step,

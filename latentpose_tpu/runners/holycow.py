@@ -81,43 +81,65 @@ def forward(models, params, batch_stats, spectral, batch,
 
     # --- Embedder ---------------------------------------------------------
     emb_vars = {"params": params["embedder"],
-                "batch_stats": batch_stats["embedder"]}
+                "batch_stats": batch_stats["embedder"],
+                "spectral": spectral.get("embedder", {})}
 
     def apply_embedder(*inputs, method=None):
-        if train:  # BN running stats update (torch train-mode buffers)
+        if train:
+            # BN running stats (torch train-mode buffers) + spectral-norm
+            # power iteration (one update per forward, like torch's hook)
             out, mut = embedder.apply(emb_vars, *inputs, train=True,
                                       method=method, rngs=rngs,
-                                      mutable=["batch_stats"])
-            new_batch_stats["embedder"] = mut["batch_stats"]
+                                      mutable=["batch_stats", "spectral"])
+            if "batch_stats" in mut:
+                new_batch_stats["embedder"] = mut["batch_stats"]
+            if "spectral" in mut:
+                new_spectral["embedder"] = mut["spectral"]
             return out
         return embedder.apply(emb_vars, *inputs, train=False, method=method)
 
+    bsz = batch["pose_input_rgbs"].shape[0] \
+        if "pose_input_rgbs" in batch else batch["enc_rgbs"].shape[0]
     if finetune:
         # Identity path disabled (reference embedders/...segmentation.py:34,
-        # 60-63); the per-avatar embedding comes from the train state.
-        pose_embedding = apply_embedder(batch["pose_input_rgbs"],
-                                        method="get_pose_embedding")
-        bsz = batch["pose_input_rgbs"].shape[0]
-        embeds = jnp.broadcast_to(
-            params["finetune_embedding"],
-            (bsz,) + params["finetune_embedding"].shape[1:])
+        # 60-63); per-avatar trainables come from the train state.
+        if "pose_input_rgbs" in batch:
+            pose_embedding = apply_embedder(batch["pose_input_rgbs"],
+                                            method="get_pose_embedding")
+        else:
+            pose_embedding = None
+        embeds = None
+        if "finetune_embedding" in params:
+            embeds = jnp.broadcast_to(
+                params["finetune_embedding"],
+                (bsz,) + params["finetune_embedding"].shape[1:])
         embeds_elemwise = None
     else:
-        embeds, embeds_elemwise, pose_embedding = apply_embedder(
-            batch["enc_rgbs"], batch["pose_input_rgbs"])
+        emb_inputs = [batch.get(k) for k in embedder.INPUT_KEYS]
+        embeds, embeds_elemwise, pose_embedding = apply_embedder(*emb_inputs)
     data_dict["embeds"] = embeds
     data_dict["embeds_elemwise"] = embeds_elemwise
     data_dict["pose_embedding"] = pose_embedding
 
-    # --- Generator --------------------------------------------------------
+    # --- Generator (uniform dict-input protocol) --------------------------
+    gen_inputs = {k: data_dict.get(k)
+                  for k in generator.INPUT_KEYS if data_dict.get(k)
+                  is not None}
+    if finetune and "finetune_affine" in params:
+        # FSTH-style fine-tuning: the packed AdaIN params are the trainable
+        # leaves (reference generators/FSTH.py:132-150)
+        gen_inputs["finetune_affine"] = jnp.broadcast_to(
+            params["finetune_affine"],
+            (bsz,) + params["finetune_affine"].shape[1:])
     gen_vars = {"params": params["generator"],
                 "spectral": spectral["generator"]}
     (fake_rgbs, fake_segm), mut = generator.apply(
-        gen_vars, embeds, pose_embedding, update_stats=update_stats,
+        gen_vars, gen_inputs, update_stats=update_stats,
         mutable=["spectral"])
     new_spectral["generator"] = mut["spectral"]
     data_dict["fake_rgbs"] = fake_rgbs
-    data_dict["fake_segm"] = fake_segm
+    if fake_segm is not None:
+        data_dict["fake_segm"] = fake_segm
 
     if not compute_losses:
         return data_dict, new_batch_stats, new_spectral
@@ -132,36 +154,39 @@ def forward(models, params, batch_stats, spectral, batch,
     if target_rgbs.ndim > 4:
         target_rgbs = target_rgbs[:, 0]
     label = batch["label"]
+    fake_in = discriminator.make_input(data_dict, fake_rgbs)
+    real_in = discriminator.make_input(data_dict, target_rgbs)
 
     def embed_lookup(p, spec, upd):
         out, mut_ = discriminator.apply(
             {"params": p, "spectral": spec}, label, update_stats=upd,
             method="embed_labels", mutable=["spectral"])
-        return out, mut_["spectral"]
+        return out, mut_.get("spectral", spec)
 
     def dis_pass(p, spec, x, embed_vec, upd):
         (score, feats), mut_ = discriminator.apply(
             {"params": p, "spectral": spec}, x, embed_vec,
             update_stats=upd, method="pass_inputs", mutable=["spectral"])
-        return score, feats, mut_["spectral"]
+        return score, feats, mut_.get("spectral", spec)
 
     # Embedding rows: looked up once with live D params (one PI update).
     embed_rows, spec_d = embed_lookup(d_params, spec_d, update_stats)
+    embed_rows_sg = sg(embed_rows) if embed_rows is not None else None
 
     # Pass 1 — fake through the G graph: grads flow into the generator side
     # only, so D params and the projection rows are stop-gradiented
     # (equivalent to torch's discarded D-grads from loss_G.backward()).
     fake_score_G, fake_features, spec_d = dis_pass(
-        d_params_sg, spec_d, fake_rgbs, sg(embed_rows), update_stats)
+        d_params_sg, spec_d, fake_in, embed_rows_sg, update_stats)
 
     # Pass 2 — fake detached, live D trunk, detached rows (reference
     # ``pass_inputs(fake_in.detach(), embed.detach())``).
     fake_score_D, _, spec_d = dis_pass(
-        d_params, spec_d, sg(fake_rgbs), sg(embed_rows), update_stats)
+        d_params, spec_d, sg(fake_in), embed_rows_sg, update_stats)
 
     # Pass 3 — real, live D params + rows.
     real_score, real_features, spec_d = dis_pass(
-        d_params, spec_d, target_rgbs, embed_rows, update_stats)
+        d_params, spec_d, real_in, embed_rows, update_stats)
 
     new_spectral["discriminator"] = spec_d
     data_dict["fake_features"] = fake_features

@@ -48,8 +48,12 @@ def g_trainable(params, finetune: bool):
     ``train.py:277-279``).
     """
     if finetune:
-        return {"generator": params["generator"],
-                "finetune_embedding": params["finetune_embedding"]}
+        out = {"generator": params["generator"]}
+        # per-avatar trainables: finetune_embedding (flagship/FSTH_plus) or
+        # finetune_affine (FSTH) — anything the re-parameterization added
+        out.update({k: v for k, v in params.items()
+                    if k.startswith("finetune_")})
+        return out
     return {"generator": params["generator"],
             "embedder": params["embedder"]}
 

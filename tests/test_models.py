@@ -19,9 +19,8 @@ def generator():
     m = gen_mod.Generator(num_channels=8, max_num_channels=64,
                           identity_embedding_size=16, pose_embedding_size=8,
                           output_image_size=IMG)
-    idt = jnp.zeros((2, 16))
-    pose = jnp.zeros((2, 8))
-    variables = m.init(jax.random.PRNGKey(0), idt, pose)
+    inputs = {"embeds": jnp.zeros((2, 16)), "pose_embedding": jnp.zeros((2, 8))}
+    variables = m.init(jax.random.PRNGKey(0), inputs)
     return m, variables
 
 
@@ -29,7 +28,7 @@ def test_generator_shapes_and_ranges(generator):
     m, variables = generator
     idt = jax.random.normal(jax.random.PRNGKey(1), (2, 16))
     pose = jax.random.normal(jax.random.PRNGKey(2), (2, 8))
-    rgbs, segm = m.apply(variables, idt, pose)
+    rgbs, segm = m.apply(variables, {"embeds": idt, "pose_embedding": pose})
     assert rgbs.shape == (2, IMG, IMG, 3)
     assert segm.shape == (2, IMG, IMG, 1)
     assert float(segm.min()) >= 0.0 and float(segm.max()) <= 1.0
@@ -53,8 +52,8 @@ def test_generator_pose_sensitivity(generator):
     """Different pose embeddings must change the output."""
     m, variables = generator
     idt = jnp.ones((1, 16))
-    out1, _ = m.apply(variables, idt, jnp.ones((1, 8)))
-    out2, _ = m.apply(variables, idt, -jnp.ones((1, 8)))
+    out1, _ = m.apply(variables, {"embeds": idt, "pose_embedding": jnp.ones((1, 8))})
+    out2, _ = m.apply(variables, {"embeds": idt, "pose_embedding": -jnp.ones((1, 8))})
     assert float(jnp.abs(out1 - out2).max()) > 1e-4
 
 
