@@ -38,10 +38,18 @@ def load_driver_frames(path, image_size):
     path = Path(path)
     frames = []
     if path.is_dir():
+        files = sorted(p for p in path.iterdir()
+                       if p.suffix.lower() in (".jpg", ".jpeg", ".png",
+                                               ".bmp"))
+        # fast path: C++ thread-pool decode+resize (native/lpr_loader.cpp)
+        from latentpose_tpu.data import native_loader
+        if native_loader.is_available():
+            images, failed = native_loader.NativeBatchLoader().load(
+                [str(p) for p in files], image_size)
+            if failed == 0:
+                return images
         import cv2
-        for p in sorted(path.iterdir()):
-            if p.suffix.lower() not in (".jpg", ".jpeg", ".png", ".bmp"):
-                continue
+        for p in files:
             img = cv2.imread(str(p))[..., ::-1]
             img = cv2.resize(img, (image_size, image_size))
             frames.append(img.astype(np.float32) / 255.0)
