@@ -105,6 +105,9 @@ def main(argv=None):
             gen_wrapper=modules["generators"].Wrapper)
         args.num_labels = 1
 
+    metrics = [m.Wrapper.get_net(args)
+               for m in (modules.get("metrics") or [])]
+
     writer = None
     if args.logging and jax.process_index() == 0:
         args_to_ignore = args.args_to_ignore.split(",")
@@ -143,7 +146,7 @@ def main(argv=None):
     for epoch in range(args.num_epochs):
         state = loop.run_epoch(dataloader_train, step_fn, state, args,
                                epoch, rng, mesh=mesh, writer=writer,
-                               eval_forward=eval_forward)
+                               eval_forward=eval_forward, metrics=metrics)
         holder["state"] = state
 
         if jax.process_index() == 0:

@@ -49,8 +49,78 @@ def make_eval_forward(models, args):
     return jax.jit(eval_forward)
 
 
+def try_other_driving_images(dataloader, eval_forward, state, batch,
+                             suffix, same_identity, deterministic=False):
+    """Cross-driving visualization (reference ``holycow.py:266-316``): for
+    each sample pick a different driver — same person/other video
+    ('_other_video') or another person ('_other_person') — re-run the model
+    with EMA weights, and stash the new driver/outputs under suffixed keys.
+    """
+    from latentpose_tpu.data.pipeline import default_collate
+    dataset = getattr(dataloader, "dataset", None)
+    if dataset is None or not hasattr(dataset, "get_other_sample_by_label"):
+        return {}
+    labels = [int(l) for l in np.asarray(batch["label"])]
+    other_idx = [dataset.get_other_sample_by_label(
+        l, same_identity=same_identity, deterministic=deterministic)
+        for l in labels]
+    data, target = default_collate([dataset[i] for i in other_idx])
+    swapped = dict(batch)
+    for key in ("pose_input_rgbs", "dec_stickmen", "dec_keypoints",
+                "target_rgbs", "real_segm"):
+        if key in data:
+            swapped[key] = data[key]
+        elif key in target:
+            swapped[key] = target[key]
+    outputs = eval_forward(state, swapped)
+    result = {"pose_input_rgbs" + suffix: swapped["pose_input_rgbs"],
+              "fake_rgbs" + suffix: np.asarray(outputs["fake_rgbs"])}
+    return result
+
+
+def run_fixed_id_eval(dataloader, eval_forward, state, args, writer,
+                      metrics=()):
+    """Deterministic fixed-sample probes (reference ``holycow.py:344-387``):
+    re-evaluate ``fixed_val_ids`` with deterministic frame sampling, log a
+    visual grid of the first batch + averaged metric values."""
+    from latentpose_tpu.data.pipeline import default_collate
+    dataset = getattr(dataloader, "dataset", None)
+    if dataset is None or not args.fixed_val_ids:
+        return
+    ids = [i for i in args.fixed_val_ids if i < len(dataset)]
+    if not ids:
+        return
+    was_deterministic = getattr(dataset.loader, "deterministic", None)
+    if was_deterministic is not None:
+        dataset.loader.deterministic = True
+    try:
+        metrics_meter = Meter()
+        for start in range(0, len(ids), args.batch_size_inference):
+            chunk = ids[start:start + args.batch_size_inference]
+            data, target = default_collate([dataset[i] for i in chunk])
+            fixed = {**data, **target}
+            outputs = eval_forward(state, fixed)
+            fixed.update({k: np.asarray(v) for k, v in outputs.items()})
+            if start == 0 and writer is not None:
+                grid, captions = make_visual(fixed, n_samples=len(chunk))
+                writer.add_image("Fixed_images/train/visual", grid,
+                                 captions, args.iteration)
+            for metric in metrics:
+                values, counts = metric(fixed)
+                for name, value in values.items():
+                    metrics_meter.add(name, value, counts.get(name, 1))
+        if writer is not None:
+            for name in metrics_meter.keys():
+                writer.add_scalar(f"Fixed_metrics/train/{name}",
+                                  metrics_meter.get_average(name),
+                                  args.iteration)
+    finally:
+        if was_deterministic is not None:
+            dataset.loader.deterministic = was_deterministic
+
+
 def run_epoch(dataloader, step_fn, state, args, epoch, rng,
-              mesh=None, writer=None, eval_forward=None):
+              mesh=None, writer=None, eval_forward=None, metrics=()):
     """Train one epoch; returns the new state."""
     meter = Meter()
     end = time.time()
@@ -79,10 +149,22 @@ def run_epoch(dataloader, step_fn, state, args, epoch, rng,
                 visual_dict = {**batch,
                                **{k: np.asarray(v)
                                   for k, v in outputs.items()}}
+                if not args.finetune:
+                    # cross-driving columns (reference holycow.py:324-342)
+                    visual_dict.update(try_other_driving_images(
+                        dataloader, eval_forward, state, batch,
+                        "_other_video", same_identity=True))
+                    visual_dict.update(try_other_driving_images(
+                        dataloader, eval_forward, state, batch,
+                        "_other_person", same_identity=False))
                 grid, captions = make_visual(
                     visual_dict, n_samples=args.num_visuals_per_img)
                 writer.add_image("Images/train/visual", grid, captions,
                                  args.iteration)
+            if (args.iteration % args.log_frequency_fixed_images == 0
+                    and eval_forward is not None):
+                run_fixed_id_eval(dataloader, eval_forward, state, args,
+                                  writer, metrics)
             args.iteration += 1
         else:
             args.iteration += 1

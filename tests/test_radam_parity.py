@@ -1,0 +1,63 @@
+"""RAdam parity: optax.radam must reproduce the reference's
+``utils/radam.py`` update math (rectification with threshold 5, degenerate
+non-adaptive branch, bias corrections) — SURVEY.md §2.9 asks to verify."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def reference_radam_updates(grads, lr=5e-4, b1=0.0, b2=0.999, eps=1e-5,
+                            steps=None):
+    """Reference utils/radam.py:6-110 math in numpy, one scalar param."""
+    m = 0.0
+    v = 0.0
+    x = 0.0
+    xs = []
+    n_sma_max = 2.0 / (1.0 - b2) - 1.0
+    for t, g in enumerate(grads, start=1):
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        beta2_t = b2 ** t
+        n_sma = n_sma_max - 2 * t * beta2_t / (1 - beta2_t)
+        if n_sma >= 5:
+            step_size = np.sqrt(
+                (1 - beta2_t) * (n_sma - 4) / (n_sma_max - 4)
+                * (n_sma - 2) / n_sma * n_sma_max / (n_sma_max - 2)
+            ) / (1 - b1 ** t)
+            x = x - lr * step_size * m / (np.sqrt(v) + eps)
+        else:
+            step_size = 1.0 / (1 - b1 ** t)
+            x = x - lr * step_size * m
+        xs.append(x)
+    return np.array(xs)
+
+
+def optax_radam_trajectory(grads, lr=5e-4, b1=0.0, b2=0.999, eps=1e-5):
+    opt = optax.radam(lr, b1=b1, b2=b2, eps=eps)
+    params = jnp.zeros(())
+    state = opt.init(params)
+    xs = []
+    for g in grads:
+        updates, state = opt.update(jnp.float32(g), state, params)
+        params = optax.apply_updates(params, updates)
+        xs.append(float(params))
+    return np.array(xs)
+
+
+def test_radam_parity_flagship_hyperparams():
+    rng = np.random.RandomState(0)
+    grads = rng.randn(50).astype(np.float64)
+    ref = reference_radam_updates(grads)
+    got = optax_radam_trajectory(grads)
+    # both the early degenerate steps and the rectified regime must match
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_radam_parity_nonzero_beta1():
+    rng = np.random.RandomState(1)
+    grads = rng.randn(30).astype(np.float64)
+    ref = reference_radam_updates(grads, lr=1e-3, b1=0.9)
+    got = optax_radam_trajectory(grads, lr=1e-3, b1=0.9)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)

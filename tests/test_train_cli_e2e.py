@@ -1,0 +1,74 @@
+"""End-to-end CLI test on a fabricated VoxCeleb tree: training with
+cross-driving visuals, fixed-id eval, metrics, checkpointing."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def vox_tree(tmp_path_factory):
+    import cv2
+    root = tmp_path_factory.mktemp("voxe2e")
+    for ident in ("id00001", "id00002"):
+        for video in ("vidA", "vidB"):
+            img_dir = root / "images-cropped" / ident / video
+            segm_dir = root / "segmentation-cropped" / ident / video
+            img_dir.mkdir(parents=True)
+            segm_dir.mkdir(parents=True)
+            rng = np.random.RandomState(abs(hash((ident, video))) % 2**31)
+            for f in range(6):
+                img = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+                cv2.imwrite(str(img_dir / f"{f:05d}.jpg"), img)
+                segm = np.zeros((48, 48, 3), np.uint8)
+                segm[8:40, 8:40] = 255
+                cv2.imwrite(str(segm_dir / f"{f:05d}.png"), segm)
+    return root
+
+
+def test_train_cli_voxceleb_end_to_end(vox_tree, tmp_path):
+    from latentpose_tpu.cli.train import main
+    exp_dir = tmp_path / "exp"
+    state = main([
+        "--embedder", "simple_conv",
+        "--generator", "vector_pose_unsupervised_segmentation_noBottleneck",
+        "--discriminator", "no_landmarks",
+        "--criterions", "adversarial, featmat, dice",
+        "--metrics", "psnr, segmentation_iou",
+        "--dataloader", "voxceleb2_segmentation_nolandmarks",
+        "--runner", "holycow",
+        "--data_root", str(vox_tree),
+        "--train_split_path", "none.csv",
+        "--image_size", "32", "--num_channels", "4",
+        "--max_num_channels", "16", "--embed_channels", "16",
+        "--pose_embedding_size", "8", "--dis_num_blocks", "3",
+        "--n_frames_for_encoder", "2",
+        "--batch_size", "2", "--num_devices", "1", "--num_workers", "1",
+        "--num_epochs", "1",
+        "--log_frequency_images", "1",
+        "--log_frequency_fixed_images", "2",
+        "--fixed_val_ids", "0",
+        "--experiments_dir", str(exp_dir),
+        "--experiment_name", "e2e",
+    ])
+    assert int(state.step) == 2  # 4 dirs / batch 2 = 2 iters
+
+    run_dir = exp_dir / "e2e"
+    scalars = [json.loads(l) for l in open(run_dir / "scalars.jsonl")]
+    tags = {s["tag"] for s in scalars}
+    assert "Metrics/train/loss_G" in tags
+    assert any(t.startswith("Fixed_metrics/train/PSNR") for t in tags)
+
+    images = list((run_dir / "images").glob("*.png"))
+    assert images, "visual grids should have been written"
+    # cross-driving columns present in the caption file
+    captions = list((run_dir / "images").glob("Images*[0-9].txt"))
+    assert captions
+    caption_text = open(captions[0]).read()
+    assert "_other_video" in caption_text
+    assert "_other_person" in caption_text
+
+    ckpts = list((run_dir / "checkpoints").iterdir())
+    assert ckpts

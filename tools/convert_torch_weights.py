@@ -1,0 +1,467 @@
+#!/usr/bin/env python3
+"""Convert reference PyTorch weights into this framework's formats.
+
+Everything here maps *state-dict keys* only (torch.load with
+weights_only-style access; torchvision itself is never imported).
+
+Supported conversions:
+  vgg19    vgg19-d01eb7cb.pth          -> vgg19_caffe.npz   (perceptual)
+  vggface  vgg_face_weights.pth        -> vgg_face.npz      (idt_embed)
+  fan      2DFAN4 .pth (face-alignment) -> fan_2d.npz        (eval/crop)
+  s3fd     s3fd .pth (face-alignment)   -> s3fd.npz          (crop)
+  checkpoint  reference model_XXXXXXXX.pth -> our .ckpt directory
+              (flagship embedder/generator/discriminator + EMA copies)
+
+Usage:
+  python tools/convert_torch_weights.py vgg19 IN.pth OUT_DIR
+  python tools/convert_torch_weights.py checkpoint IN.pth OUT_DIR [--args k=v]
+
+Conventions converted throughout: torch conv OIHW -> flax HWIO; torch Linear
+(out, in) -> flax (in, out); BN weight/bias -> scale/bias + running stats
+into "batch_stats"; torch spectral_norm's (weight_orig, weight_u[, weight_v])
+-> raw kernel + the "spectral" (u, v) collection.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def load_torch_state_dict(path):
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return {k: v.detach().numpy() if hasattr(v, "detach") else v
+            for k, v in obj.items()}
+
+
+def conv_kernel(w):
+    """OIHW -> HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def dense_kernel(w):
+    """(out, in) -> (in, out)."""
+    return np.transpose(w, (1, 0))
+
+
+def save_flat_npz(flat, out_path):
+    Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez(out_path, **flat)
+    print(f"wrote {out_path} ({len(flat)} arrays)")
+
+
+# --------------------------------------------------------------------------
+# VGG feature towers (criterions/common/perceptual_loss.py parity)
+# --------------------------------------------------------------------------
+
+VGG19_CONV_INDICES = (0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30,
+                      32, 34)
+VGG16_CONV_INDICES = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+
+
+def convert_vgg(sd, conv_indices):
+    """torchvision-style 'features.N.weight' (or bare 'N.weight') keys ->
+    our VGGFeatures 'conv<i>/kernel|bias' flat npz."""
+    def get(idx, leaf):
+        for pattern in (f"features.{idx}.{leaf}", f"{idx}.{leaf}"):
+            if pattern in sd:
+                return sd[pattern]
+        raise KeyError(f"no key for features[{idx}].{leaf}")
+
+    flat = {}
+    for i, idx in enumerate(conv_indices):
+        flat[f"conv{i}/kernel"] = conv_kernel(get(idx, "weight"))
+        flat[f"conv{i}/bias"] = get(idx, "bias")
+    return flat
+
+
+# --------------------------------------------------------------------------
+# Spectral-norm layers (torch spectral_norm parity)
+# --------------------------------------------------------------------------
+
+def sn_conv(sd, prefix):
+    """torch SN conv -> (params, spectral) dicts for our SNConv."""
+    w = sd[prefix + ".weight_orig"]
+    u = sd[prefix + ".weight_u"]
+    w2d = w.reshape(w.shape[0], -1)
+    v = sd.get(prefix + ".weight_v")
+    if v is None:
+        v = w2d.T @ u
+        v = v / max(np.linalg.norm(v), 1e-12)
+    params = {"kernel": conv_kernel(w)}
+    if prefix + ".bias" in sd:
+        params["bias"] = sd[prefix + ".bias"]
+    return params, {"u": u, "v": v}
+
+
+def sn_dense(sd, prefix):
+    w = sd[prefix + ".weight_orig"]
+    u = sd[prefix + ".weight_u"]
+    v = sd.get(prefix + ".weight_v")
+    if v is None:
+        v = w.T @ u
+        v = v / max(np.linalg.norm(v), 1e-12)
+    params = {"kernel": dense_kernel(w)}
+    if prefix + ".bias" in sd:
+        params["bias"] = sd[prefix + ".bias"]
+    return params, {"u": u, "v": v}
+
+
+def sn_embed(sd, prefix):
+    w = sd[prefix + ".weight_orig"]
+    u = sd[prefix + ".weight_u"]
+    v = sd.get(prefix + ".weight_v")
+    if v is None:
+        v = w.T @ u
+        v = v / max(np.linalg.norm(v), 1e-12)
+    return {"embedding": w}, {"u": u, "v": v}
+
+
+def bn(sd, prefix):
+    return ({"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]},
+            {"mean": sd[prefix + ".running_mean"],
+             "var": sd[prefix + ".running_var"]})
+
+
+# --------------------------------------------------------------------------
+# Reference ResBlock (generators/common/blocks.py:47-111) -> our ResBlock
+# --------------------------------------------------------------------------
+
+def convert_resblock(sd, prefix, normalize, upsample, downsample):
+    """Returns (params, spectral) for nn/blocks.ResBlock.
+
+    torch Sequential indices (zero padding): with norm: [norm0, ReLU,
+    (Up), pad, conv0, norm1, ReLU, pad, conv1, (Pool)]; without norm the
+    norms are absent.  AdaptiveNorm2d has no stored params.
+    """
+    idx = 0
+    if normalize:
+        idx += 1  # norm0 (no params)
+    idx += 1      # ReLU
+    if upsample:
+        idx += 1  # Upsample
+    idx += 1      # empty pad Sequential
+    conv0 = f"{prefix}.block.{idx}"
+    idx += 1
+    if normalize:
+        idx += 1  # norm1
+    idx += 1      # ReLU
+    idx += 1      # pad
+    conv1 = f"{prefix}.block.{idx}"
+
+    params, spectral = {}, {}
+    p, s = sn_conv(sd, conv0)
+    params["conv0"], spectral["conv0"] = p, s
+    p, s = sn_conv(sd, conv1)
+    params["conv1"], spectral["conv1"] = p, s
+
+    skip_conv = f"{prefix}.skip.{1 if upsample else 0}"
+    if skip_conv + ".weight_orig" in sd:
+        p, s = sn_conv(sd, skip_conv)
+        params["skip"], spectral["skip"] = p, s
+    return params, spectral
+
+
+# --------------------------------------------------------------------------
+# Flagship generator (vector_pose_unsupervised_segmentation_noBottleneck)
+# --------------------------------------------------------------------------
+
+def convert_flagship_generator(sd, prefix="", num_blocks=8,
+                               num_residual=2):
+    params, spectral = {}, {}
+    pf = prefix
+
+    params["constant"] = np.transpose(sd[pf + "constant.constant"],
+                                      (0, 2, 3, 1))
+    for i in range(num_blocks):
+        up = i >= num_residual
+        p, s = convert_resblock(sd, pf + f"decoder_blocks.{i}",
+                                normalize=True, upsample=up,
+                                downsample=False)
+        params[f"block{i}"], spectral[f"block{i}"] = p, s
+
+    # decoder_blocks: [8]=AdaIN (no params), [9]=ReLU, [10]=head conv
+    p, s = sn_conv(sd, pf + f"decoder_blocks.{num_blocks + 2}")
+    params["head_conv"], spectral["head_conv"] = p, s
+
+    p, s = sn_dense(sd, pf + "affine_params_projector.0")
+    params["projector_0"], spectral["projector_0"] = p, s
+    p, s = sn_dense(sd, pf + "affine_params_projector.2")
+    params["projector_1"], spectral["projector_1"] = p, s
+
+    extra = {}
+    if pf + "identity_embedding" in sd:  # fine-tuned checkpoint
+        extra["finetune_embedding"] = sd[pf + "identity_embedding"]
+    return params, spectral, extra
+
+
+# --------------------------------------------------------------------------
+# Flagship discriminator (no_landmarks)
+# --------------------------------------------------------------------------
+
+def convert_flagship_discriminator(sd, prefix="", num_blocks=6):
+    params, spectral = {}, {}
+    pf = prefix
+    for ours, theirs in (("stem_conv0", "down_block.0"),
+                         ("stem_conv1", "down_block.2"),
+                         ("stem_skip", "skip.0")):
+        p, s = sn_conv(sd, pf + theirs)
+        params[ours], spectral[ours] = p, s
+    for i in range(num_blocks):
+        down = f"{pf}blocks.{i}.block.5.weight_orig" in sd  # downsample pool
+        # norm='none': [ReLU, pad, conv0, ReLU, pad, conv1, (pool)]
+        p, s = convert_resblock(sd, pf + f"blocks.{i}", normalize=False,
+                                upsample=False, downsample=down)
+        params[f"block{i}"], spectral[f"block{i}"] = p, s
+    p, s = sn_dense(sd, pf + "linear")
+    params["linear"], spectral["linear"] = p, s
+    p, s = sn_embed(sd, pf + "embed")
+    params["embed"], spectral["embed"] = p, s
+    return params, spectral
+
+
+# --------------------------------------------------------------------------
+# torchvision ResNeXt-50 / MobileNetV2 (flagship embedder)
+# --------------------------------------------------------------------------
+
+def convert_resnext50(sd, prefix=""):
+    params, stats = {}, {}
+
+    def put_bn(ours, theirs):
+        p, s = bn(sd, prefix + theirs)
+        params[ours], stats[ours] = p, s
+
+    params["conv1"] = {"kernel": conv_kernel(sd[prefix + "conv1.weight"])}
+    put_bn("bn1", "bn1")
+    layers = (3, 4, 6, 3)
+    for stage, blocks in enumerate(layers, start=1):
+        for i in range(blocks):
+            t = f"layer{stage}.{i}."
+            o = f"layer{stage}_{i}"
+            block_p, block_s = {}, {}
+            for c in ("conv1", "conv2", "conv3"):
+                block_p[c] = {"kernel": conv_kernel(
+                    sd[prefix + t + c + ".weight"])}
+            for b in ("bn1", "bn2", "bn3"):
+                p, s = bn(sd, prefix + t + b)
+                block_p[b], block_s[b] = p, s
+            if prefix + t + "downsample.0.weight" in sd:
+                block_p["downsample_conv"] = {"kernel": conv_kernel(
+                    sd[prefix + t + "downsample.0.weight"])}
+                p, s = bn(sd, prefix + t + "downsample.1")
+                block_p["downsample_bn"], block_s["downsample_bn"] = p, s
+            params[o], stats[o] = block_p, block_s
+    params["fc"] = {"kernel": dense_kernel(sd[prefix + "fc.weight"]),
+                    "bias": sd[prefix + "fc.bias"]}
+    return params, stats
+
+
+def convert_mobilenet_v2(sd, prefix=""):
+    params, stats = {}, {}
+
+    def put(ours_conv, ours_bn, theirs_conv, theirs_bn, block_p, block_s):
+        block_p[ours_conv] = {"kernel": conv_kernel(
+            sd[prefix + theirs_conv + ".weight"])}
+        p, s = bn(sd, prefix + theirs_bn)
+        block_p[ours_bn], block_s[ours_bn] = p, s
+
+    params["stem_conv"] = {"kernel": conv_kernel(
+        sd[prefix + "features.0.0.weight"])}
+    p, s = bn(sd, prefix + "features.0.1")
+    params["stem_bn"], stats["stem_bn"] = p, s
+
+    settings = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+                (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1))
+    feature_idx = 1
+    block_idx = 0
+    for t, c, n, s_ in settings:
+        for _ in range(n):
+            th = f"features.{feature_idx}.conv."
+            block_p, block_s = {}, {}
+            if t == 1:
+                # [0]=dw ConvBNReLU, [1]=project conv, [2]=project bn
+                put("conv0", "bn0", th + "0.0", th + "0.1", block_p, block_s)
+                put("conv1", "bn1", th + "1", th + "2", block_p, block_s)
+            else:
+                put("conv0", "bn0", th + "0.0", th + "0.1", block_p, block_s)
+                put("conv1", "bn1", th + "1.0", th + "1.1", block_p, block_s)
+                put("conv2", "bn2", th + "2", th + "3", block_p, block_s)
+            params[f"block{block_idx}"] = block_p
+            stats[f"block{block_idx}"] = block_s
+            feature_idx += 1
+            block_idx += 1
+
+    params["head_conv"] = {"kernel": conv_kernel(
+        sd[prefix + "features.18.0.weight"])}
+    p, s = bn(sd, prefix + "features.18.1")
+    params["head_bn"], stats["head_bn"] = p, s
+    params["classifier"] = {
+        "kernel": dense_kernel(sd[prefix + "classifier.1.weight"]),
+        "bias": sd[prefix + "classifier.1.bias"]}
+    return params, stats
+
+
+def convert_flagship_embedder(sd, prefix=""):
+    idt_p, idt_s = convert_resnext50(sd, prefix + "identity_encoder.")
+    pose_p, pose_s = convert_mobilenet_v2(sd, prefix + "pose_encoder.")
+    params = {"identity_encoder": idt_p, "pose_encoder": pose_p}
+    stats = {"identity_encoder": idt_s, "pose_encoder": pose_s}
+    return params, stats
+
+
+# --------------------------------------------------------------------------
+# FAN / S3FD (face-alignment checkpoints)
+# --------------------------------------------------------------------------
+
+def convert_fan(sd):
+    """face-alignment 2DFAN4 state dict -> our eval/fan.py tree."""
+    flat = {}
+
+    def put_conv(ours, theirs, bias=True):
+        flat[f"{ours}/kernel"] = conv_kernel(sd[theirs + ".weight"])
+        if bias and theirs + ".bias" in sd:
+            flat[f"{ours}/bias"] = sd[theirs + ".bias"]
+
+    def put_bn(ours, theirs):
+        flat[f"{ours}/scale"] = sd[theirs + ".weight"]
+        flat[f"{ours}/bias"] = sd[theirs + ".bias"]
+        # batch_stats go in a separate tree for npz flatness
+        flat[f"{ours}__mean"] = sd[theirs + ".running_mean"]
+        flat[f"{ours}__var"] = sd[theirs + ".running_var"]
+
+    def put_convblock(ours, theirs):
+        put_bn(f"{ours}/bn1", f"{theirs}.bn1")
+        put_conv(f"{ours}/conv1", f"{theirs}.conv1", bias=False)
+        put_bn(f"{ours}/bn2", f"{theirs}.bn2")
+        put_conv(f"{ours}/conv2", f"{theirs}.conv2", bias=False)
+        put_bn(f"{ours}/bn3", f"{theirs}.bn3")
+        put_conv(f"{ours}/conv3", f"{theirs}.conv3", bias=False)
+        if f"{theirs}.downsample.2.weight" in sd:
+            put_bn(f"{ours}/down_bn", f"{theirs}.downsample.0")
+            put_conv(f"{ours}/down_conv", f"{theirs}.downsample.2",
+                     bias=False)
+
+    put_conv("conv1", "conv1")
+    put_bn("bn1", "bn1")
+    put_convblock("conv2", "conv2")
+    put_convblock("conv3", "conv3")
+    put_convblock("conv4", "conv4")
+    for m in range(4):
+        for level in range(4, 0, -1):
+            put_convblock(f"m{m}/b1_{level}", f"m{m}.b1_{level}")
+            put_convblock(f"m{m}/b2_{level}", f"m{m}.b2_{level}")
+            put_convblock(f"m{m}/b3_{level}", f"m{m}.b3_{level}")
+            if level == 1:
+                put_convblock(f"m{m}/b2plus_{level}", f"m{m}.b2_plus_{level}")
+        put_convblock(f"top_m_{m}", f"top_m_{m}")
+        put_conv(f"conv_last{m}", f"conv_last{m}")
+        put_bn(f"bn_end{m}", f"bn_end{m}")
+        put_conv(f"l{m}", f"l{m}")
+        if m < 3:
+            put_conv(f"bl{m}", f"bl{m}")
+            put_conv(f"al{m}", f"al{m}")
+    return flat
+
+
+# --------------------------------------------------------------------------
+# Full reference checkpoint -> our .ckpt
+# --------------------------------------------------------------------------
+
+def convert_reference_checkpoint(in_path, out_dir):
+    import torch
+    ckpt = torch.load(in_path, map_location="cpu", weights_only=False)
+
+    def sd_of(key):
+        entry = ckpt.get(key)
+        if entry is None:
+            return None
+        return {k: v.detach().numpy() for k, v in entry.items()}
+
+    emb_sd = sd_of("embedder")
+    gen_sd = sd_of("generator")
+    dis_sd = sd_of("discriminator")
+    ra = ckpt.get("running_averages", {})
+    args = ckpt.get("args")
+    args_dict = vars(args) if args is not None else {}
+
+    emb_p, emb_stats = convert_flagship_embedder(emb_sd)
+    gen_p, gen_spec, gen_extra = convert_flagship_generator(gen_sd)
+    dis_p, dis_spec = convert_flagship_discriminator(dis_sd)
+
+    params = {"embedder": emb_p, "generator": gen_p,
+              "discriminator": dis_p}
+    params.update(gen_extra)
+    state_dict = {
+        "step": np.int32(args_dict.get("iteration", 0)),
+        "params": params,
+        "batch_stats": {"embedder": emb_stats},
+        "spectral": {"embedder": {}, "generator": gen_spec,
+                     "discriminator": dis_spec},
+        "ema_params": {},
+    }
+    if "embedder" in ra:
+        ema_sd = {k: v.detach().numpy() for k, v in ra["embedder"].items()}
+        state_dict["ema_params"]["embedder"] = \
+            convert_flagship_embedder(ema_sd)[0]
+    if "generator" in ra:
+        ema_sd = {k: v.detach().numpy() for k, v in ra["generator"].items()}
+        ema_p, _, ema_extra = convert_flagship_generator(ema_sd)
+        state_dict["ema_params"]["generator"] = ema_p
+        if "finetune_embedding" in ema_extra:
+            state_dict["ema_params"]["finetune_embedding"] = \
+                ema_extra["finetune_embedding"]
+
+    from latentpose_tpu.checkpoint import _flatten
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    np.savez(out_dir / "arrays.npz", **_flatten(state_dict))
+    meta = {"format_version": 1,
+            "iteration": int(args_dict.get("iteration", 0)),
+            "finetune": "finetune_embedding" in params,
+            "args": {k: (str(v) if not isinstance(
+                v, (int, float, str, bool, list, type(None))) else v)
+                for k, v in args_dict.items()},
+            "converted_from": str(in_path)}
+    with open(out_dir / "meta.json", "w") as f:
+        json.dump(meta, f, indent=1)
+    print(f"wrote {out_dir}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("kind", choices=["vgg19", "vggface", "fan", "s3fd",
+                                         "checkpoint"])
+    parser.add_argument("input")
+    parser.add_argument("output_dir")
+    args = parser.parse_args(argv)
+
+    out = Path(args.output_dir)
+    if args.kind == "checkpoint":
+        convert_reference_checkpoint(args.input, out)
+        return
+    sd = load_torch_state_dict(args.input)
+    if args.kind == "vgg19":
+        save_flat_npz(convert_vgg(sd, VGG19_CONV_INDICES),
+                      out / "vgg19_caffe.npz")
+    elif args.kind == "vggface":
+        save_flat_npz(convert_vgg(sd, VGG16_CONV_INDICES),
+                      out / "vgg_face.npz")
+    elif args.kind == "fan":
+        save_flat_npz(convert_fan(sd), out / "fan_2d.npz")
+    elif args.kind == "s3fd":
+        raise NotImplementedError(
+            "S3FD key mapping pending a sample checkpoint; see "
+            "preprocess/s3fd.py for the target tree")
+
+
+if __name__ == "__main__":
+    main()
