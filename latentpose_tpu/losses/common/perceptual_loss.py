@@ -54,9 +54,12 @@ class PerceptualLoss:
     live on-device once per compiled program.
     """
 
-    def __init__(self, weight, vgg_weights_dir, net="caffe"):
+    def __init__(self, weight, vgg_weights_dir, net="caffe",
+                 compute_dtype="float32"):
         self.weight = float(weight)
         self.net = net
+        self.compute_dtype = jnp.bfloat16 \
+            if compute_dtype == "bfloat16" else jnp.float32
         cfg = VGG19_CFG if net in ("caffe", "pytorch") else VGG16_CFG
         self.module = VGGFeatures(cfg=cfg, num_layers=30)
 
@@ -88,9 +91,14 @@ class PerceptualLoss:
         """input/target: (B, H, W, 3) in the generator's output range."""
         x = (input + 1.0) / 2.0
         y = (jax.lax.stop_gradient(target) + 1.0) / 2.0
-        feats_x = self.module.apply(self.variables, self._normalize(x))
-        feats_y = self.module.apply(self.variables, self._normalize(y))
+        cd = self.compute_dtype
+        feats_x = self.module.apply(self.variables,
+                                    self._normalize(x).astype(cd))
+        feats_y = self.module.apply(self.variables,
+                                    self._normalize(y).astype(cd))
         loss = 0.0
         for fx, fy in zip(feats_x, feats_y):
-            loss = loss + jnp.mean(jnp.abs(fx - fy))
+            # feature diffs accumulate in f32 even on the bf16 tower path
+            loss = loss + jnp.mean(
+                jnp.abs(fx - fy).astype(jnp.float32))
         return loss * self.weight

@@ -22,7 +22,9 @@ class Wrapper:
 
     @staticmethod
     def get_net(args):
-        return Criterion(args.idt_embed_weight, args.vgg_weights_dir)
+        return Criterion(args.idt_embed_weight, args.vgg_weights_dir,
+                         compute_dtype=getattr(args, "compute_dtype",
+                                               "float32"))
 
 
 def compute_bboxes_from_keypoints(keypoints):
@@ -48,9 +50,11 @@ def compute_bboxes_from_keypoints(keypoints):
 
 
 class Criterion:
-    def __init__(self, idt_embed_weight, vgg_weights_dir):
+    def __init__(self, idt_embed_weight, vgg_weights_dir,
+                 compute_dtype="float32"):
         self.idt_embed_crit = PerceptualLoss(idt_embed_weight,
-                                             vgg_weights_dir, net="face")
+                                             vgg_weights_dir, net="face",
+                                             compute_dtype=compute_dtype)
 
     def __call__(self, data_dict):
         fake_rgb = strip_time(data_dict["fake_rgbs"])

@@ -13,13 +13,17 @@ class Wrapper:
 
     @staticmethod
     def get_net(args):
-        return Criterion(args.perc_weight, args.vgg_weights_dir)
+        return Criterion(args.perc_weight, args.vgg_weights_dir,
+                         compute_dtype=getattr(args, "compute_dtype",
+                                               "float32"))
 
 
 class Criterion:
-    def __init__(self, perc_weight, vgg_weights_dir):
+    def __init__(self, perc_weight, vgg_weights_dir,
+                 compute_dtype="float32"):
         self.perceptual_crit = PerceptualLoss(perc_weight, vgg_weights_dir,
-                                              net="caffe")
+                                              net="caffe",
+                                              compute_dtype=compute_dtype)
 
     def __call__(self, data_dict):
         fake_rgb = strip_time(data_dict["fake_rgbs"])

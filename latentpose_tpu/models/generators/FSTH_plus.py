@@ -80,7 +80,9 @@ class Generator(flagship.Generator):
         constant = self.param(
             "constant", nn.initializers.ones,
             (1, self.constant_input_size, self.constant_input_size, c0))
-        x = jnp.broadcast_to(constant, (batch,) + constant.shape[1:])
+        x = jnp.broadcast_to(constant,
+                             (batch,) + constant.shape[1:]).astype(
+            pose_embedding.dtype)
 
         for i, (in_ch, out_ch, up) in enumerate(blocks):
             x = ResBlock(in_ch, out_ch, norm_layer="adain", upsample=up,

@@ -149,9 +149,10 @@ class Generator(nn.Module):
         constant = self.param(
             "constant", nn.initializers.ones,
             (1, self.constant_input_size, self.constant_input_size, c0))
+        # activations follow the input precision (bf16 mixed-precision path)
         x = jnp.broadcast_to(
             constant, (batch,) + constant.shape[1:]).astype(
-                self.dtype or jnp.float32)
+                pose_embedding.dtype)
 
         for i, (in_ch, out_ch, up) in enumerate(blocks):
             # 'ada' + norm_layer; only 'adain' is live (the reference's 'bn'

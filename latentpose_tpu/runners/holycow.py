@@ -60,7 +60,7 @@ def get_gen_optimizer(args) -> optax.GradientTransformation:
 
 def forward(models, params, batch_stats, spectral, batch,
             rng=None, train=True, finetune=False, update_stats=True,
-            compute_losses=True):
+            compute_losses=True, compute_dtype=None):
     """Run embedder -> generator -> discriminator(3 passes), producing the
     populated data_dict (reference ``TrainingModule.forward``,
     ``holycow.py:153-201``) plus the mutated variable collections.
@@ -74,6 +74,15 @@ def forward(models, params, batch_stats, spectral, batch,
     data_dict: Dict[str, Any] = dict(batch)
     new_batch_stats = dict(batch_stats)
     new_spectral = dict(spectral)
+
+    # Mixed precision: activations in bfloat16 (params stay f32; instance
+    # norm statistics and loss math stay f32 — see ops/norms.py and the
+    # criteria).  MXU-bound convs roughly double in throughput.
+    if compute_dtype is not None and compute_dtype != jnp.float32:
+        for key in ("enc_rgbs", "pose_input_rgbs", "enc_stickmen",
+                    "dec_stickmen"):
+            if batch.get(key) is not None:
+                batch = {**batch, key: batch[key].astype(compute_dtype)}
 
     rngs = {}
     if train and rng is not None:
@@ -137,9 +146,9 @@ def forward(models, params, batch_stats, spectral, batch,
         gen_vars, gen_inputs, update_stats=update_stats,
         mutable=["spectral"])
     new_spectral["generator"] = mut["spectral"]
-    data_dict["fake_rgbs"] = fake_rgbs
+    data_dict["fake_rgbs"] = fake_rgbs.astype(jnp.float32)
     if fake_segm is not None:
-        data_dict["fake_segm"] = fake_segm
+        data_dict["fake_segm"] = fake_segm.astype(jnp.float32)
 
     if not compute_losses:
         return data_dict, new_batch_stats, new_spectral
@@ -156,6 +165,9 @@ def forward(models, params, batch_stats, spectral, batch,
     label = batch["label"]
     fake_in = discriminator.make_input(data_dict, fake_rgbs)
     real_in = discriminator.make_input(data_dict, target_rgbs)
+    if compute_dtype is not None:
+        fake_in = fake_in.astype(compute_dtype)
+        real_in = real_in.astype(compute_dtype)
 
     def embed_lookup(p, spec, upd):
         out, mut_ = discriminator.apply(
@@ -189,14 +201,17 @@ def forward(models, params, batch_stats, spectral, batch,
         d_params, spec_d, real_in, embed_rows, update_stats)
 
     new_spectral["discriminator"] = spec_d
-    data_dict["fake_features"] = fake_features
-    data_dict["real_features"] = real_features
-    data_dict["real_embedding"] = embed_rows
-    data_dict["fake_score_G"] = fake_score_G
-    data_dict["fake_score_D"] = fake_score_D
+    # loss math stays in f32 (scores/features upcast; XLA fuses the casts
+    # into the reductions)
+    f32 = lambda t: t.astype(jnp.float32) if t is not None else None
+    data_dict["fake_features"] = [f32(f) for f in fake_features]
+    data_dict["real_features"] = [f32(f) for f in real_features]
+    data_dict["real_embedding"] = f32(embed_rows)
+    data_dict["fake_score_G"] = f32(fake_score_G)
+    data_dict["fake_score_D"] = f32(fake_score_D)
     # Live for loss_D; stop-gradiented alias for any loss_G use (rgan/ragan).
-    data_dict["real_score"] = real_score
-    data_dict["real_score_for_G"] = sg(real_score)
+    data_dict["real_score"] = f32(real_score)
+    data_dict["real_score_for_G"] = f32(sg(real_score))
 
     return data_dict, new_batch_stats, new_spectral
 
@@ -225,6 +240,8 @@ def make_train_step(models, criteria, args, opt_g, opt_d, donate=False):
     finetune = bool(args.finetune)
     ema_alpha = 0.972 if finetune else 0.999  # reference holycow.py:257
     train_mode = not args.set_eval_mode_in_train
+    compute_dtype = jnp.bfloat16 \
+        if getattr(args, "compute_dtype", "float32") == "bfloat16" else None
     use_pix = bool(getattr(args, "use_pixelwise_augs", False))
     use_scale = bool(getattr(args, "use_affine_scale", False))
     use_shift = bool(getattr(args, "use_affine_shift", False))
@@ -254,7 +271,8 @@ def make_train_step(models, criteria, args, opt_g, opt_d, donate=False):
         full_params = merge_trainable(params, trainable["g"], trainable["d"])
         data_dict, new_bs, new_spec = forward(
             models, full_params, batch_stats, spectral, batch, rng=rng,
-            train=train_mode, finetune=finetune, update_stats=True)
+            train=train_mode, finetune=finetune, update_stats=True,
+            compute_dtype=compute_dtype)
         losses_G, losses_D = apply_criteria(criteria, data_dict)
         loss_G = sum(losses_G.values())
         loss_D = sum(losses_D.values()) if losses_D else jnp.float32(0)
