@@ -106,12 +106,21 @@ def main(argv=None):
 
     drive_fn = drive_lib.make_drive_fn(models, args, use_ema=True)
 
+    # multi-chip serving: shard frame batches over the data axis
+    mesh = None
+    num_devices = args.num_devices or 1
+    if num_devices > 1:
+        from latentpose_tpu.parallel.mesh import create_mesh, replicate
+        mesh = create_mesh(num_devices)
+        state = replicate(state, mesh)
+
     os.makedirs(args.destination, exist_ok=True)
     results = []
     for images_path in args.images_paths:
         frames = load_driver_frames(images_path, args.image_size)
         outputs = drive_lib.drive_sequence(
-            drive_fn, state, frames, batch_size=args.drive_batch_size)
+            drive_fn, state, frames, batch_size=args.drive_batch_size,
+            mesh=mesh)
 
         name = str(images_path).replace("://", "_").replace("/", "_")
         dest = Path(args.destination) / f"{name}.mp4"

@@ -142,11 +142,18 @@ def main(argv=None):
         signal.signal(signal.SIGINT, save_last_model_and_exit)
         signal.signal(signal.SIGTERM, save_last_model_and_exit)
 
+    saver = None
+    if args.saver and jax.process_index() == 0:
+        from latentpose_tpu.utils.saver import Saver
+        saver = Saver(os.path.join(args.experiment_dir,
+                                   "validation_results"), args.saver)
+
     logger.info("Entering training loop")
     for epoch in range(args.num_epochs):
         state = loop.run_epoch(dataloader_train, step_fn, state, args,
                                epoch, rng, mesh=mesh, writer=writer,
-                               eval_forward=eval_forward, metrics=metrics)
+                               eval_forward=eval_forward, metrics=metrics,
+                               saver=saver)
         holder["state"] = state
 
         if jax.process_index() == 0:

@@ -86,6 +86,12 @@ def build_core_parser() -> MyArgumentParser:
     parser.add("--compute_dtype", type=str, default="float32",
                choices=["float32", "bfloat16"])
 
+    # Profiling (SURVEY.md §5: jax.profiler replaces the reference's dead
+    # --profile_flops flag)
+    parser.add("--profile_dir", type=str, default="",
+               help="Write a jax.profiler trace of a few steps here")
+    parser.add("--profile_steps", type=int, default=5)
+
     # Misc
     parser.add("--random_seed", type=int, default=123)
     parser.add("--checkpoint_path", type=str, default="")

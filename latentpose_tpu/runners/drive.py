@@ -62,13 +62,19 @@ def make_drive_fn(models, args, use_ema: bool = True):
     return jax.jit(drive_step)
 
 
-def drive_sequence(drive_fn, state, frames, batch_size=32):
+def drive_sequence(drive_fn, state, frames, batch_size=32, mesh=None):
     """Drive a full sequence; frames: (N, H, W, 3) float32 host array.
 
     Returns (N, H, W, 3) results.  Pads the tail batch to keep one compiled
-    shape (SURVEY.md §7: static shapes).
+    shape (SURVEY.md §7: static shapes); with a mesh, frame batches are
+    sharded over the 'data' axis (multi-chip serving) and dispatch is
+    pipelined so the device queue stays fed.
     """
+    from latentpose_tpu.parallel.mesh import batch_sharding
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
     n = len(frames)
+    in_flight = []
     outputs = []
     for start in range(0, n, batch_size):
         chunk = frames[start:start + batch_size]
@@ -76,6 +82,16 @@ def drive_sequence(drive_fn, state, frames, batch_size=32):
         if pad:
             chunk = np.concatenate(
                 [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0)
-        rgbs, _ = drive_fn(state, jnp.asarray(chunk))
-        outputs.append(np.asarray(rgbs)[:batch_size - pad if pad else None])
+        device_chunk = jnp.asarray(chunk)
+        if sharding is not None:
+            device_chunk = jax.device_put(device_chunk, sharding)
+        rgbs, _ = drive_fn(state, device_chunk)
+        in_flight.append((rgbs, pad))
+        if len(in_flight) > 2:
+            done, done_pad = in_flight.pop(0)
+            outputs.append(np.asarray(done)[:batch_size - done_pad
+                                            if done_pad else None])
+    for done, done_pad in in_flight:
+        outputs.append(np.asarray(done)[:batch_size - done_pad
+                                        if done_pad else None])
     return np.concatenate(outputs, axis=0)

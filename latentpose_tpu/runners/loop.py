@@ -120,12 +120,29 @@ def run_fixed_id_eval(dataloader, eval_forward, state, args, writer,
 
 
 def run_epoch(dataloader, step_fn, state, args, epoch, rng,
-              mesh=None, writer=None, eval_forward=None, metrics=()):
+              mesh=None, writer=None, eval_forward=None, metrics=(),
+              saver=None):
     """Train one epoch; returns the new state."""
     meter = Meter()
     end = time.time()
 
+    # jax.profiler trace hooks (SURVEY.md §5: replaces the reference's dead
+    # --profile_flops flag): trace steps [2, 2+profile_steps) of epoch 0.
+    profile_dir = getattr(args, "profile_dir", "")
+    profile_steps = int(getattr(args, "profile_steps", 5))
+    profiling = False
+
     for it, (data_dict, target_dict) in enumerate(dataloader):
+        if profile_dir and epoch == 0:
+            if it == 2:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+                logger.info("Profiler trace started -> %s", profile_dir)
+            elif profiling and it == 2 + profile_steps:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("Profiler trace written to %s", profile_dir)
         meter.add("Data_time", time.time() - end)
         batch = {**data_dict, **target_dict}
         if mesh is not None:
@@ -169,8 +186,16 @@ def run_epoch(dataloader, step_fn, state, args, epoch, rng,
         else:
             args.iteration += 1
 
+        if saver is not None:
+            saver.save(epoch=epoch, iteration=args.iteration,
+                       scalars={k: float(v) for k, v in scalars.items()})
+
         meter.add("Batch_time", time.time() - end)
         end = time.time()
+
+    if profiling:
+        jax.block_until_ready(state.params)
+        jax.profiler.stop_trace()
 
     logger.info("Epoch %d finished (loss_G=%.4f loss_D=%.4f, %.3fs/it)",
                 epoch, meter.get_average("loss_G"),
