@@ -114,6 +114,124 @@ class ResBlock(nn.Module):
         return h + x
 
 
+def channel_shuffle(x, groups: int):
+    """ShuffleNet channel shuffle (reference ``blocks.py:113-136``), NHWC."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, w, groups, c // groups)
+    x = jnp.swapaxes(x, 3, 4)
+    return x.reshape(b, h, w, c)
+
+
+class ResBlockNoSpectralNorm(nn.Module):
+    """ResBlock variant without spectral norm (reference
+    ``blocks.py:455-522``; unused by the flagship)."""
+
+    in_features: int
+    out_features: int
+    norm_layer: str = "none"
+    upsample: bool = False
+    downsample: bool = False
+    eps: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x, ada0=None, ada1=None, update_stats: bool = False):
+        normalize = self.norm_layer != "none"
+        h = x
+        if self.norm_layer == "in":
+            h = InstanceNormAffine(self.in_features, self.eps,
+                                   name="norm0")(h)
+        elif self.norm_layer == "adain":
+            h = norm_ops.adain(h, ada0[0], ada0[1], self.eps)
+        h = nn.relu(h)
+        if self.upsample:
+            h = upsample_nearest_2x(h)
+        h = nn.Conv(self.out_features, (3, 3), padding=1,
+                    use_bias=not normalize, name="conv0")(h)
+        if self.norm_layer == "in":
+            h = InstanceNormAffine(self.out_features, self.eps,
+                                   name="norm1")(h)
+        elif self.norm_layer == "adain":
+            h = norm_ops.adain(h, ada1[0], ada1[1], self.eps)
+        h = nn.relu(h)
+        h = nn.Conv(self.out_features, (3, 3), padding=1,
+                    use_bias=not normalize, name="conv1")(h)
+        if self.downsample:
+            h = avg_pool_2x(h)
+        if (self.in_features != self.out_features or self.upsample
+                or self.downsample):
+            s = upsample_nearest_2x(x) if self.upsample else x
+            s = nn.Conv(self.out_features, (1, 1), name="skip")(s)
+            if self.downsample:
+                s = avg_pool_2x(s)
+            return h + s
+        return h + x
+
+
+class GatedBlock(nn.Module):
+    """Gated conv block (reference ``blocks.py:372-452``): conv output split
+    into (features, gate), output = features * sigmoid(gate)."""
+
+    out_features: int
+    kernel_size: tuple = (3, 3)
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        h = SNConv(self.out_features * 2, self.kernel_size, padding=1,
+                   name="conv")(x, update_stats)
+        feat, gate = jnp.split(h, 2, axis=-1)
+        return feat * nn.sigmoid(gate)
+
+
+class GatedResBlock(nn.Module):
+    """Residual block of two GatedBlocks (reference ``blocks.py:421-452``)."""
+
+    in_features: int
+    out_features: int
+    upsample: bool = False
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        h = nn.relu(x)
+        if self.upsample:
+            h = upsample_nearest_2x(h)
+        h = GatedBlock(self.out_features, name="gated0")(h, update_stats)
+        h = nn.relu(h)
+        h = GatedBlock(self.out_features, name="gated1")(h, update_stats)
+        if self.downsample:
+            h = avg_pool_2x(h)
+        if (self.in_features != self.out_features or self.upsample
+                or self.downsample):
+            s = upsample_nearest_2x(x) if self.upsample else x
+            s = SNConv(self.out_features, (1, 1), padding=0,
+                       name="skip")(s, update_stats)
+            if self.downsample:
+                s = avg_pool_2x(s)
+            return h + s
+        return h + x
+
+
+class MobileNetBlock(nn.Module):
+    """Depthwise-separable residual block (reference ``blocks.py:525-586``)."""
+
+    in_features: int
+    out_features: int
+    expansion: int = 6
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        hidden = self.in_features * self.expansion
+        h = nn.Conv(hidden, (1, 1), name="expand")(x)
+        h = nn.relu6(h)
+        h = nn.Conv(hidden, (3, 3), padding=1, feature_group_count=hidden,
+                    name="depthwise")(h)
+        h = nn.relu6(h)
+        h = nn.Conv(self.out_features, (1, 1), name="project")(h)
+        if self.in_features == self.out_features:
+            return x + h
+        return h
+
+
 class SelfAttention(nn.Module):
     """SAGAN-style self-attention (reference ``blocks.py:589-609``).
 
