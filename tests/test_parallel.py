@@ -1,0 +1,90 @@
+"""Distributed-correctness tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from latentpose_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+
+
+def test_mesh_creation_and_sharding():
+    mesh = create_mesh(8)
+    assert mesh.devices.shape == (8,)
+    batch = {"x": np.arange(16, dtype=np.float32).reshape(16, 1),
+             "label": np.arange(16, dtype=np.int32)}
+    sharded = shard_batch(batch, mesh)
+    assert sharded["x"].sharding.num_devices == 8
+    np.testing.assert_array_equal(np.asarray(sharded["x"]), batch["x"])
+
+    tree = {"w": np.ones((4, 4), np.float32)}
+    replicated = replicate(tree, mesh)
+    assert replicated["w"].sharding.num_devices == 8
+
+
+def test_train_step_mesh_matches_single_device():
+    """The 8-way-DP train step must equal the single-device step bit-for-bit
+    (modulo reduction order): same batch, same rng -> same new params."""
+    import types
+    from latentpose_tpu.losses import adversarial, dice, featmat, l1_rgb
+    from latentpose_tpu.models.discriminators import no_landmarks as dis_mod
+    from latentpose_tpu.models.embedders import simple_conv as emb_mod
+    from latentpose_tpu.models.generators import (
+        vector_pose_unsupervised_segmentation_noBottleneck as gen_mod)
+    from latentpose_tpu.runners import build, holycow
+    from latentpose_tpu.data.synthetic import SyntheticDataLoader
+
+    args = types.SimpleNamespace(
+        image_size=16, in_channels=3, out_channels=3, num_channels=4,
+        max_num_channels=16, embed_channels=16, pose_embedding_size=8,
+        gen_padding="zero", gen_constant_input_size=4,
+        gen_num_residual_blocks=1, norm_layer="in", dis_padding="zero",
+        dis_num_blocks=3, num_labels=8, optimizer="Adam", lr_gen=1e-3,
+        lr_dis=1e-3, beta1=0.0, average_function="sum", finetune=False,
+        iteration=0, set_eval_mode_in_train=False, batch_size=8,
+        random_seed=0, gan_type="gan", fm_weight=10.0, dice_weight=1.0,
+        l1_weight=30.0)
+    models = {
+        "embedder": emb_mod.Embedder(identity_embedding_size=16,
+                                     pose_embedding_size=8, width=4),
+        "generator": gen_mod.Generator(
+            num_channels=4, max_num_channels=16,
+            identity_embedding_size=16, pose_embedding_size=8,
+            output_image_size=16, num_residual_blocks=1),
+        "discriminator": dis_mod.Discriminator(
+            num_channels=4, max_num_channels=16, embed_channels=16,
+            num_blocks=3, image_size=16, num_labels=8),
+    }
+    criteria = [adversarial.Criterion("gan"), featmat.Criterion(10.0),
+                dice.Criterion(1.0), l1_rgb.Criterion(30.0)]
+    opt_g, opt_d = build.build_optimizers(args, {"discriminators": dis_mod})
+    state = build.init_train_state(args, models, opt_g, opt_d,
+                                   jax.random.PRNGKey(0))
+    step_fn = holycow.make_train_step(models, criteria, args, opt_g, opt_d)
+
+    loader = SyntheticDataLoader(16, 8, num_labels=8, num_enc_frames=2)
+    data, target = loader.get_batch(0)
+    batch = {**data, **target}
+    rng = jax.random.PRNGKey(7)
+
+    # single device
+    s1, scalars1 = step_fn(state, batch, rng)
+
+    # 8-device mesh
+    mesh = create_mesh(8)
+    state_r = replicate(state, mesh)
+    batch_s = shard_batch(batch, mesh)
+    s8, scalars8 = step_fn(state_r, batch_s, rng)
+
+    np.testing.assert_allclose(float(scalars1["loss_G"]),
+                               float(scalars8["loss_G"]), rtol=1e-4)
+    np.testing.assert_allclose(float(scalars1["loss_D"]),
+                               float(scalars8["loss_D"]), rtol=1e-4)
+    # cross-device reduction order differs from single-device; Adam's
+    # rsqrt amplifies the float noise for near-zero second moments, so the
+    # tolerance is loose-ish but still catches any real sharding bug
+    for leaf1, leaf8 in zip(
+            jax.tree_util.tree_leaves(s1.params["generator"]),
+            jax.tree_util.tree_leaves(s8.params["generator"])):
+        np.testing.assert_allclose(np.asarray(leaf1), np.asarray(leaf8),
+                                   rtol=1e-3, atol=5e-4)
