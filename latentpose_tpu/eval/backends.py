@@ -82,10 +82,11 @@ class ProxyDescriptorBackend:
 
     def __call__(self, images, default_bbox):
         import cv2
-        t, l, b, r = default_bbox
         feats = []
         for image in images:
             h, w = image.shape[:2]
+            # default bboxes are specified for 256² images; scale
+            t, l, b, r = (int(v * h / 256) for v in default_bbox)
             crop = image[t:h - b, l:w - r]
             crop = cv2.resize(crop, (16, 16), interpolation=cv2.INTER_AREA)
             v = crop.astype(np.float32).reshape(-1)
@@ -123,10 +124,10 @@ class ArcFaceBackend:
 
     def __call__(self, images, default_bbox):
         import cv2
-        t, l, b, r = default_bbox
         crops = []
         for image in images:
             h, w = image.shape[:2]
+            t, l, b, r = (int(v * h / 256) for v in default_bbox)
             crop = cv2.resize(image[t:h - b, l:w - r], (112, 112),
                               interpolation=cv2.INTER_CUBIC)
             crops.append(crop)

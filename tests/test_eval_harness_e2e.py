@@ -1,0 +1,96 @@
+"""End-to-end eval harness test: fabricated driving-results + GT tree ->
+identity/pose errors with caching (proxy backends)."""
+
+import numpy as np
+import pytest
+
+
+IDENTITIES = ["idA/vid1", "idB/vid2"]
+NUM_FRAMES = 4
+SIZE = 64
+
+
+def _render(identity_idx, frame):
+    from latentpose_tpu.data.synthetic import render_face
+    img, _ = render_face(identity_idx + 1, frame, SIZE)
+    return (img * 255).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def eval_tree(tmp_path_factory):
+    import cv2
+    root = tmp_path_factory.mktemp("evale2e")
+    data_root = root / "data"
+    results_root = root / "results"
+
+    for i, ident in enumerate(IDENTITIES):
+        for sub in ("identity", "driver"):
+            img_dir = data_root / "images-cropped" / ident / sub
+            segm_dir = data_root / "segmentation-cropped" / ident / sub
+            img_dir.mkdir(parents=True)
+            segm_dir.mkdir(parents=True)
+            for f in range(NUM_FRAMES):
+                img = _render(i, f)
+                cv2.imwrite(str(img_dir / f"{f:03d}.jpg"), img[..., ::-1])
+                segm = np.full((SIZE, SIZE, 3), 255, np.uint8)
+                cv2.imwrite(str(segm_dir / f"{f:03d}.png"), segm)
+
+        # driving results: mp4 per driver, side-by-side driver|reenactment;
+        # "reenactment" = the identity's own face driven (perfect identity)
+        res_dir = (results_root / ident.replace("/", "_") + "_identity"
+                   if False else results_root /
+                   (ident.replace("/", "_") + "_identity") / "driving-results")
+        res_dir.mkdir(parents=True)
+        for j, driver in enumerate(IDENTITIES):
+            path = res_dir / (driver.replace("/", "_") + "_driver.mp4")
+            writer = cv2.VideoWriter(
+                str(path), cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                (2 * SIZE, SIZE))
+            assert writer.isOpened()
+            for f in range(NUM_FRAMES):
+                side = np.concatenate([_render(j, f), _render(i, f)], axis=1)
+                writer.write(side[..., ::-1])
+            writer.release()
+    return data_root, results_root
+
+
+def test_compute_pose_identity_error_end_to_end(eval_tree):
+    data_root, results_root = eval_tree
+    from latentpose_tpu.cli.compute_pose_identity_error import main
+    out = main([
+        "--results_root", str(results_root),
+        "--data_root", str(data_root),
+        "--identities", *IDENTITIES,
+        "--num_frames", str(NUM_FRAMES),
+        "--image_size", str(SIZE),
+        "--eval_weights_dir", "",  # proxy backends
+    ])
+    assert np.isfinite(out["identity_error"])
+    assert np.isfinite(out["pose_reconstruction_error"])
+    assert out["pose_reconstruction_error_aligned"] <= \
+        out["pose_reconstruction_error"] + 1e-6
+    # reenactments ARE the true identities -> identity error should be small
+    assert out["identity_error"] < 0.5
+
+    # caches written (GT + per-identity descriptors/landmarks)
+    assert (results_root
+            / "true_average_identity_descriptors_noBackground.npy").exists()
+    assert (results_root / "target_landmarks.npy").exists()
+    cache = (results_root / "idA_vid1_identity"
+             / "our_identity_descriptors" / "idA_vid1.npy")
+    assert cache.exists()
+
+    # second run must come from caches (delete videos to prove it)
+    import shutil
+    for ident in IDENTITIES:
+        shutil.rmtree(results_root / (ident.replace("/", "_") + "_identity")
+                      / "driving-results")
+    out2 = main([
+        "--results_root", str(results_root),
+        "--data_root", str(data_root),
+        "--identities", *IDENTITIES,
+        "--num_frames", str(NUM_FRAMES),
+        "--image_size", str(SIZE),
+        "--eval_weights_dir", "",
+    ])
+    assert out2["identity_error"] == pytest.approx(out["identity_error"])
