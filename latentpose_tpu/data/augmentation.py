@@ -159,9 +159,15 @@ def sample_affine_params(key, batch, use_scale, use_shift):
     return sx, sy, tx, ty
 
 
-def apply_affine(images, sx, sy, tx, ty):
+def apply_affine(images, sx, sy, tx, ty, separable=True):
     """Sample images on an affine grid (reflection padding, bilinear).
-    scale >1 zooms in (imgaug semantics: object scaled up)."""
+    scale >1 zooms in (imgaug semantics: object scaled up).
+
+    The default path is the gather-free separable matmul resampler
+    (ops/resample.py) — numerically identical, MXU instead of gathers."""
+    if separable:
+        from latentpose_tpu.ops.resample import affine_resample
+        return affine_resample(images, sx, sy, tx, ty)
     b, h, w, _ = images.shape
     ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0
     xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0

@@ -12,7 +12,9 @@ import jax.numpy as jnp
 
 from latentpose_tpu.losses.common.perceptual_loss import PerceptualLoss
 from latentpose_tpu.losses.common.util import strip_time
-from latentpose_tpu.ops.image import crop_and_resize
+# gather-free separable crop (MXU path); numerically identical to
+# ops/image.crop_and_resize (tests/test_resample.py)
+from latentpose_tpu.ops.resample import crop_and_resize
 
 
 class Wrapper:
