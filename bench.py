@@ -40,7 +40,8 @@ def main():
         num_channels=64, max_num_channels=512, embed_channels=512,
         pose_embedding_size=256, gen_padding="zero",
         gen_constant_input_size=4, gen_num_residual_blocks=2,
-        norm_layer="in", average_function="sum")
+        norm_layer="in", average_function="sum",
+        compute_dtype="bfloat16")
 
     embedder = emb_mod.Wrapper.get_net(args)
     generator = gen_mod.Wrapper.get_net(args)

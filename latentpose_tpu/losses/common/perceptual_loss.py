@@ -61,7 +61,10 @@ class PerceptualLoss:
         self.compute_dtype = jnp.bfloat16 \
             if compute_dtype == "bfloat16" else jnp.float32
         cfg = VGG19_CFG if net in ("caffe", "pytorch") else VGG16_CFG
-        self.module = VGGFeatures(cfg=cfg, num_layers=30)
+        self.module = VGGFeatures(cfg=cfg, num_layers=30,
+                                  dtype=self.compute_dtype
+                                  if self.compute_dtype != jnp.float32
+                                  else None)
 
         path = None
         if vgg_weights_dir and net in WEIGHT_FILES:

@@ -32,10 +32,14 @@ class Wrapper:
 
     @staticmethod
     def get_net(args):
+        import jax.numpy as jnp
+        dtype = jnp.bfloat16 if getattr(args, "compute_dtype",
+                                        "float32") == "bfloat16" else None
         return Embedder(
             identity_embedding_size=args.embed_channels,
             pose_embedding_size=args.pose_embedding_size,
             average_function=args.average_function,
+            dtype=dtype,
         )
 
 
@@ -49,9 +53,9 @@ class Embedder(nn.Module):
 
     def setup(self):
         self.identity_encoder = ResNeXt50(
-            num_classes=self.identity_embedding_size)
+            num_classes=self.identity_embedding_size, dtype=self.dtype)
         self.pose_encoder = MobileNetV2(
-            num_classes=self.pose_embedding_size)
+            num_classes=self.pose_embedding_size, dtype=self.dtype)
 
     def get_identity_embedding(self, enc_rgbs, train: bool = False):
         """enc_rgbs: (B, K, H, W, 3) identity frames.

@@ -27,9 +27,9 @@ _conv_init = nn.initializers.variance_scaling(2.0, "fan_out",
                                               "truncated_normal")
 
 
-def _bn(train: bool, name: str):
+def _bn(train: bool, name: str, dtype=None):
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, name=name)
+                        epsilon=1e-5, dtype=dtype, name=name)
 
 
 class Bottleneck(nn.Module):
@@ -40,30 +40,34 @@ class Bottleneck(nn.Module):
     groups: int = 32
     base_width: int = 4
     has_downsample: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_features = self.planes * 4
+        dt = self.dtype
 
         h = nn.Conv(width, (1, 1), use_bias=False, kernel_init=_conv_init,
-                    name="conv1")(x)
-        h = _bn(train, "bn1")(h)
+                    dtype=dt, name="conv1")(x)
+        h = _bn(train, "bn1", dt)(h)
         h = nn.relu(h)
         h = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
                     padding=1, feature_group_count=self.groups,
-                    use_bias=False, kernel_init=_conv_init, name="conv2")(h)
-        h = _bn(train, "bn2")(h)
+                    use_bias=False, kernel_init=_conv_init, dtype=dt,
+                    name="conv2")(h)
+        h = _bn(train, "bn2", dt)(h)
         h = nn.relu(h)
         h = nn.Conv(out_features, (1, 1), use_bias=False,
-                    kernel_init=_conv_init, name="conv3")(h)
-        h = _bn(train, "bn3")(h)
+                    kernel_init=_conv_init, dtype=dt, name="conv3")(h)
+        h = _bn(train, "bn3", dt)(h)
 
         if self.has_downsample:
             x = nn.Conv(out_features, (1, 1),
                         strides=(self.stride, self.stride), use_bias=False,
-                        kernel_init=_conv_init, name="downsample_conv")(x)
-            x = _bn(train, "downsample_bn")(x)
+                        kernel_init=_conv_init, dtype=dt,
+                        name="downsample_conv")(x)
+            x = _bn(train, "downsample_bn", dt)(x)
         return nn.relu(h + x)
 
 
@@ -77,8 +81,9 @@ class ResNeXt50(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    kernel_init=_conv_init, name="conv1")(x)
-        h = _bn(train, "bn1")(h)
+                    kernel_init=_conv_init, dtype=self.dtype,
+                    name="conv1")(x)
+        h = _bn(train, "bn1", self.dtype)(h)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -90,13 +95,15 @@ class ResNeXt50(nn.Module):
                 s = stride if i == 0 else 1
                 needs_ds = (s != 1) or (in_features != planes * 4)
                 h = Bottleneck(planes, s, has_downsample=needs_ds,
+                               dtype=self.dtype,
                                name=f"layer{stage + 1}_{i}")(h, train)
                 in_features = planes * 4
 
         h = jnp.mean(h, axis=(1, 2))  # adaptive avg pool to 1x1
         h = nn.Dense(self.num_classes,
                      kernel_init=tinit.torch_conv_kernel_init,
-                     bias_init=nn.initializers.zeros, name="fc")(h)
+                     bias_init=nn.initializers.zeros, dtype=self.dtype,
+                     name="fc")(h)
         return h
 
 
@@ -107,29 +114,32 @@ class InvertedResidual(nn.Module):
     out_features: int
     stride: int
     expand_ratio: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = int(round(self.in_features * self.expand_ratio))
         use_res = self.stride == 1 and self.in_features == self.out_features
+        dt = self.dtype
 
         h = x
         idx = 0
         if self.expand_ratio != 1:
             h = nn.Conv(hidden, (1, 1), use_bias=False,
-                        kernel_init=_conv_init, name=f"conv{idx}")(h)
-            h = _bn(train, f"bn{idx}")(h)
+                        kernel_init=_conv_init, dtype=dt,
+                        name=f"conv{idx}")(h)
+            h = _bn(train, f"bn{idx}", dt)(h)
             h = jnp.minimum(nn.relu(h), 6.0)
             idx += 1
         h = nn.Conv(hidden, (3, 3), strides=(self.stride, self.stride),
                     padding=1, feature_group_count=hidden, use_bias=False,
-                    kernel_init=_conv_init, name=f"conv{idx}")(h)
-        h = _bn(train, f"bn{idx}")(h)
+                    kernel_init=_conv_init, dtype=dt, name=f"conv{idx}")(h)
+        h = _bn(train, f"bn{idx}", dt)(h)
         h = jnp.minimum(nn.relu(h), 6.0)
         idx += 1
         h = nn.Conv(self.out_features, (1, 1), use_bias=False,
-                    kernel_init=_conv_init, name=f"conv{idx}")(h)
-        h = _bn(train, f"bn{idx}")(h)
+                    kernel_init=_conv_init, dtype=dt, name=f"conv{idx}")(h)
+        h = _bn(train, f"bn{idx}", dt)(h)
         return x + h if use_res else h
 
 
@@ -150,8 +160,9 @@ class MobileNetV2(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = nn.Conv(32, (3, 3), strides=(2, 2), padding=1, use_bias=False,
-                    kernel_init=_conv_init, name="stem_conv")(x)
-        h = _bn(train, "stem_bn")(h)
+                    kernel_init=_conv_init, dtype=self.dtype,
+                    name="stem_conv")(x)
+        h = _bn(train, "stem_bn", self.dtype)(h)
         h = jnp.minimum(nn.relu(h), 6.0)
 
         in_features = 32
@@ -160,18 +171,20 @@ class MobileNetV2(nn.Module):
             for i in range(n):
                 stride = s if i == 0 else 1
                 h = InvertedResidual(in_features, c, stride, t,
+                                     dtype=self.dtype,
                                      name=f"block{block_idx}")(h, train)
                 in_features = c
                 block_idx += 1
 
         h = nn.Conv(1280, (1, 1), use_bias=False, kernel_init=_conv_init,
-                    name="head_conv")(h)
-        h = _bn(train, "head_bn")(h)
+                    dtype=self.dtype, name="head_conv")(h)
+        h = _bn(train, "head_bn", self.dtype)(h)
         h = jnp.minimum(nn.relu(h), 6.0)
 
         h = jnp.mean(h, axis=(1, 2))
         h = nn.Dropout(0.2, deterministic=not train)(h)
         h = nn.Dense(self.num_classes,
                      kernel_init=nn.initializers.normal(0.01),
-                     bias_init=nn.initializers.zeros, name="classifier")(h)
+                     bias_init=nn.initializers.zeros, dtype=self.dtype,
+                     name="classifier")(h)
         return h

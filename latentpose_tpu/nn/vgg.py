@@ -33,10 +33,15 @@ VGG16_CFG: Sequence[Union[int, str]] = (
 
 
 class VGGFeatures(nn.Module):
-    """Truncated VGG feature tower returning all ReLU activations."""
+    """Truncated VGG feature tower returning all ReLU activations.
+
+    ``dtype``: compute dtype for the convs (bf16 mixed-precision path) —
+    without it flax's type promotion silently upcasts to the f32 params.
+    """
 
     cfg: Sequence[Union[int, str]] = VGG19_CFG
     num_layers: int = 30  # conv/relu/pool each count as one torch layer
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
@@ -53,6 +58,7 @@ class VGGFeatures(nn.Module):
             else:
                 h = nn.Conv(int(item), (3, 3), padding=1,
                             kernel_init=tinit.torch_conv_kernel_init,
+                            dtype=self.dtype,
                             name=f"conv{conv_idx}")(h)
                 conv_idx += 1
                 layer_idx += 1
