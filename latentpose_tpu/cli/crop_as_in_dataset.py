@@ -16,7 +16,7 @@ import numpy as np
 
 from latentpose_tpu.preprocess.croppers import make_cropper
 from latentpose_tpu.preprocess.readers import ImageReader
-from latentpose_tpu.utils.video import get_image_writer, to_uint8
+from latentpose_tpu.utils.video import get_image_writer
 
 logger = logging.getLogger("crop_as_in_dataset")
 

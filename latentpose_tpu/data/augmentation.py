@@ -17,7 +17,6 @@ All functions take (key, images) with images (B, H, W, 3) float32 in [0, 1].
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

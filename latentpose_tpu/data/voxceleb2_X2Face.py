@@ -6,7 +6,6 @@ cutoffs of a 256 crop — reference ``:257-297``)."""
 from __future__ import annotations
 
 import logging
-from pathlib import Path
 
 import numpy as np
 

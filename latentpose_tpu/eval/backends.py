@@ -101,7 +101,6 @@ class ProxyDescriptorBackend:
 class ArcFaceBackend:
     def __init__(self, weights_path, flip=True):
         import jax
-        import jax.numpy as jnp
         from latentpose_tpu.eval.arcface import (ArcFaceR100,
                                                  normalize_embeddings)
         self.model = ArcFaceR100()

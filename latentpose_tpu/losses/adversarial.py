@@ -10,7 +10,6 @@ with the relativistic score transforms for rgan/ragan.
 from __future__ import annotations
 
 import jax.numpy as jnp
-from flax import linen as nn  # noqa: F401 (plugin convention)
 
 
 class Wrapper:

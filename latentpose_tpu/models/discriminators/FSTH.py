@@ -5,7 +5,6 @@ concat(driver stickman, rgb) (``:158-164``)."""
 from __future__ import annotations
 
 import jax.numpy as jnp
-import optax
 
 from latentpose_tpu.models.discriminators import no_landmarks
 

@@ -18,7 +18,6 @@ import logging
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 import flax.linen as nn
 
 from latentpose_tpu.nn.backbones import ResNeXt50

@@ -11,7 +11,7 @@ Differences by design (not omissions):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -14,7 +14,7 @@ and croppers require explicit bboxes (the hermetic path).
 
 from __future__ import annotations
 
-from typing import Any, List
+from typing import Any
 
 import numpy as np
 import jax

@@ -15,7 +15,6 @@ driver sequence: per frame, pose encoder -> generator -> side-by-side
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

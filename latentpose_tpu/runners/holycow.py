@@ -24,7 +24,6 @@ Re-design of the reference ``runners/holycow.py`` for TPU:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict
 
 import jax

@@ -21,7 +21,7 @@ explicitly (SURVEY.md §7 design stance):
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import struct

@@ -6,7 +6,6 @@ encoder works, else imageio, else a PNG frame directory."""
 from __future__ import annotations
 
 import logging
-import os
 from pathlib import Path
 
 import numpy as np
