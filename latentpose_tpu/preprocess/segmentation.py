@@ -51,10 +51,28 @@ class GrabCutBackend:
 
 
 class GraphonomyBackend:
+    """JAX Graphonomy port (preprocess/graphonomy.py), weight-gated."""
+
     def __init__(self, weights_path):
-        raise NotImplementedError(
-            "Graphonomy port pending weight conversion; place converted "
-            "weights and implement apply() — see preprocess/segmentation.py")
+        import jax
+        from latentpose_tpu.losses.common.perceptual_loss import \
+            _load_npz_params
+        from latentpose_tpu.preprocess.graphonomy import (Graphonomy,
+                                                          person_mask)
+        self.model = Graphonomy()
+        self.variables = _load_npz_params(weights_path)
+
+        @jax.jit
+        def segment(images):
+            probs = self.model.apply(self.variables, images, train=False)
+            return person_mask(probs)
+
+        self._segment = segment
+        logger.info("Graphonomy backend active (%s)", weights_path)
+
+    def __call__(self, image_rgb_uint8):
+        x = image_rgb_uint8.astype(np.float32)[None] / 255.0
+        return np.asarray(self._segment(x))[0]
 
 
 def segment_with_tta(backend, image_rgb_uint8, scales=TTA_SCALES,

@@ -122,3 +122,19 @@ def test_crop_cli_end_to_end(tmp_path):
     assert len(outs) == 2
     out = cv2.imread(str(outs[0]))
     assert out.shape == (64, 64, 3)
+
+
+@pytest.mark.slow
+def test_graphonomy_architecture():
+    import jax
+    import jax.numpy as jnp
+    from latentpose_tpu.preprocess.graphonomy import Graphonomy, person_mask
+    m = Graphonomy()
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    probs = m.apply(v, x, train=False)
+    assert probs.shape == (1, 64, 64, 20)
+    np.testing.assert_allclose(float(probs.sum(-1).mean()), 1.0, rtol=1e-5)
+    mask = person_mask(probs)
+    assert mask.shape == (1, 64, 64)
+    assert 0.0 <= float(mask.min()) and float(mask.max()) <= 1.0
