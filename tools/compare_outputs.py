@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Output-parity harness: compare two sets of rendered frames
+(ours vs the reference implementation's) — the workflow for the
+"≤1e-3 LPIPS delta" target (BASELINE.md).
+
+Usage:
+    python tools/compare_outputs.py DIR_OR_MP4_A DIR_OR_MP4_B \
+        [--vgg_weights_dir data/weights]
+
+Reports per-frame L1, PSNR, and a VGG-perceptual distance (the same
+caffe-VGG19 feature metric the training loss uses — with converted reference
+weights this is an LPIPS-class metric; with the random fallback tower it is
+only indicative, and says so).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def load_frames(path):
+    import cv2
+    path = Path(path)
+    frames = []
+    if path.is_dir():
+        for p in sorted(path.iterdir()):
+            if p.suffix.lower() in (".jpg", ".jpeg", ".png", ".bmp"):
+                frames.append(cv2.imread(str(p))[..., ::-1])
+    else:
+        cap = cv2.VideoCapture(str(path))
+        while True:
+            ok, img = cap.read()
+            if not ok:
+                break
+            frames.append(img[..., ::-1])
+        cap.release()
+    return [f.astype(np.float32) / 255.0 for f in frames]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("a")
+    parser.add_argument("b")
+    parser.add_argument("--vgg_weights_dir", default="data/weights")
+    parser.add_argument("--batch", type=int, default=16)
+    args = parser.parse_args(argv)
+
+    frames_a = load_frames(args.a)
+    frames_b = load_frames(args.b)
+    n = min(len(frames_a), len(frames_b))
+    assert n > 0, "no frames"
+    if len(frames_a) != len(frames_b):
+        print(f"WARNING: frame-count mismatch ({len(frames_a)} vs "
+              f"{len(frames_b)}); comparing first {n}")
+
+    import jax.numpy as jnp
+    from latentpose_tpu.losses.common.perceptual_loss import PerceptualLoss
+    perc = PerceptualLoss(weight=1.0, vgg_weights_dir=args.vgg_weights_dir,
+                          net="caffe")
+
+    l1s, psnrs, percs = [], [], []
+    for start in range(0, n, args.batch):
+        a = np.stack(frames_a[start:start + args.batch])
+        b = np.stack(frames_b[start:start + args.batch])
+        if a.shape != b.shape:
+            import cv2
+            b = np.stack([cv2.resize(x, a.shape[2:0:-1]) for x in b])
+        l1s.append(np.abs(a - b).mean())
+        mse = ((a - b) ** 2).mean()
+        psnrs.append(-10 * np.log10(max(mse, 1e-10)))
+        percs.append(float(perc(jnp.asarray(a), jnp.asarray(b))))
+
+    print(f"frames: {n}")
+    print(f"L1: {np.mean(l1s):.6f}")
+    print(f"PSNR: {np.mean(psnrs):.2f} dB")
+    print(f"VGG-perceptual distance: {np.mean(percs):.6f}"
+          + ("" if (Path(args.vgg_weights_dir) / "vgg19_caffe.npz").exists()
+             else "  (RANDOM tower — convert vgg19 weights for an "
+                  "LPIPS-class number)"))
+    return {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs)),
+            "vgg": float(np.mean(percs))}
+
+
+if __name__ == "__main__":
+    main()
