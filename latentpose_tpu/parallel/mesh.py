@@ -53,6 +53,24 @@ def replicate(tree, mesh: Mesh):
                                   tree)
 
 
+def shard_batch_multihost(local_batch, mesh: Mesh):
+    """Multi-host input: assemble global arrays from per-process shards.
+
+    Each host loads only its own rows (data/pipeline.py shards indices by
+    ``jax.process_index()``, like the reference's ``Subset(rank::world)`` —
+    ``dataloaders/dataloader.py:29-33``); this stitches them into global
+    jax.Arrays sharded over the 'data' axis.  This is the >8-GPU/horovod
+    regime equivalent (SURVEY.md §2.9) — the same jitted step runs
+    unchanged.
+    """
+    sharding = NamedSharding(mesh, P("data"))
+
+    def put(x):
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, local_batch)
+
+
 def batch_sharding(mesh: Mesh):
     return NamedSharding(mesh, P("data"))
 

@@ -1,0 +1,111 @@
+"""True multi-process (multi-host semantics) test: 2 processes x 2 local
+CPU devices, per-process data shards stitched into global arrays, one
+global train step producing identical losses on both hosts, rank-0-only
+checkpointing.  This exercises the reference's >8-GPU/horovod regime
+equivalent (SURVEY.md §2.9) without a pod."""
+
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import pytest
+
+WORKER = textwrap.dedent("""
+    import os, sys, json
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["JAX_PLATFORMS"] = ""
+    sys.path.insert(0, os.getcwd())
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    proc_id = int(sys.argv[1]); ckpt_dir = sys.argv[2]
+    jax.distributed.initialize(coordinator_address="127.0.0.1:29871",
+                               num_processes=2, process_id=proc_id)
+    assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+    import types
+    import numpy as np
+    import jax.numpy as jnp
+    from latentpose_tpu.losses import adversarial, dice, featmat
+    from latentpose_tpu.models.discriminators import no_landmarks as dis_mod
+    from latentpose_tpu.models.embedders import simple_conv as emb_mod
+    from latentpose_tpu.models.generators import (
+        vector_pose_unsupervised_segmentation_noBottleneck as gen_mod)
+    from latentpose_tpu.runners import build, holycow
+    from latentpose_tpu.parallel.mesh import (create_mesh, replicate,
+                                              shard_batch_multihost)
+    from latentpose_tpu.data.synthetic import SyntheticDataLoader
+    from latentpose_tpu import checkpoint as ckpt_lib
+
+    args = types.SimpleNamespace(
+        image_size=16, in_channels=3, out_channels=3, num_channels=4,
+        max_num_channels=16, embed_channels=16, pose_embedding_size=8,
+        gen_padding="zero", gen_constant_input_size=4,
+        gen_num_residual_blocks=1, norm_layer="in", dis_padding="zero",
+        dis_num_blocks=3, num_labels=4, optimizer="Adam", lr_gen=1e-3,
+        lr_dis=1e-3, beta1=0.0, average_function="sum", finetune=False,
+        iteration=0, set_eval_mode_in_train=False, batch_size=4,
+        random_seed=0, gan_type="gan", fm_weight=10.0, dice_weight=1.0,
+        use_pixelwise_augs=False, use_affine_scale=False,
+        use_affine_shift=False)
+    models = {
+        "embedder": emb_mod.Embedder(identity_embedding_size=16,
+                                     pose_embedding_size=8, width=4),
+        "generator": gen_mod.Generator(
+            num_channels=4, max_num_channels=16, identity_embedding_size=16,
+            pose_embedding_size=8, output_image_size=16,
+            num_residual_blocks=1),
+        "discriminator": dis_mod.Discriminator(
+            num_channels=4, max_num_channels=16, embed_channels=16,
+            num_blocks=3, image_size=16, num_labels=4),
+    }
+    criteria = [adversarial.Criterion("gan"), featmat.Criterion(10.0),
+                dice.Criterion(1.0)]
+    opt_g, opt_d = build.build_optimizers(args, {"discriminators": dis_mod})
+    state = build.init_train_state(args, models, opt_g, opt_d,
+                                   jax.random.PRNGKey(0))
+    step_fn = holycow.make_train_step(models, criteria, args, opt_g, opt_d)
+
+    mesh = create_mesh(4)  # global: 2 procs x 2 local devices
+    state = replicate(state, mesh)
+
+    # per-process half of the global batch of 4 (like a per-host loader:
+    # this host materializes ONLY its 2 rows)
+    loader = SyntheticDataLoader(16, 4, num_labels=4, num_enc_frames=2)
+    data, target = loader.get_batch(0)
+    full = {**data, **target}
+    local = {k: v[proc_id * 2:(proc_id + 1) * 2] for k, v in full.items()}
+    global_batch = shard_batch_multihost(local, mesh)
+
+    new_state, scalars = step_fn(state, global_batch, jax.random.PRNGKey(1))
+    loss_G = float(scalars["loss_G"])
+
+    # rank-0-only checkpointing
+    path = ckpt_lib.save_checkpoint(ckpt_dir, new_state, args)
+    print(json.dumps({"proc": proc_id, "loss_G": loss_G,
+                      "wrote_ckpt": path is not None}), flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_training_step(tmp_path):
+    import json
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", WORKER, str(i), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(Path(__file__).resolve().parent.parent))
+        for i in range(2)]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, err[-2000:]
+        results.append(json.loads(out.strip().splitlines()[-1]))
+
+    by_proc = {r["proc"]: r for r in results}
+    # both hosts computed the same global loss
+    assert by_proc[0]["loss_G"] == pytest.approx(by_proc[1]["loss_G"],
+                                                 rel=1e-5)
+    # only process 0 wrote the checkpoint
+    assert by_proc[0]["wrote_ckpt"] is True
+    assert by_proc[1]["wrote_ckpt"] is False
+    assert (tmp_path / "checkpoints").exists()
