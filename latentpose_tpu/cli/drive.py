@@ -92,6 +92,9 @@ def main(argv=None):
     # inference overrides (reference drive.py:48-59)
     args.finetune = True
     args.inference = True
+    # serving default: bf16 unless the user pinned a dtype on the CLI
+    if "--compute_dtype" not in argv:
+        args.compute_dtype = "bfloat16"
 
     rng = jax.random.PRNGKey(args.random_seed)
     models = build.build_models(args, modules)
