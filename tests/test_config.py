@@ -1,0 +1,97 @@
+"""Config-system tests: 5-level resolution order, store_bool, two-phase
+plugin arg registration, checkpoint-args merging."""
+
+import os
+
+import numpy as np
+import pytest
+
+from latentpose_tpu.config import (MyArgumentParser, build_core_parser,
+                                   get_args_and_modules)
+
+
+def test_store_bool_pairs():
+    parser = MyArgumentParser()
+    parser.add("--flag", action="store_bool", default=True)
+    assert parser.parse_args([]).flag is True
+    assert parser.parse_args(["--no-flag"]).flag is False
+    assert parser.parse_args(["--flag"]).flag is True
+
+
+def write_config(tmp_path, name, body):
+    cfg_dir = tmp_path / "configs"
+    cfg_dir.mkdir(exist_ok=True)
+    (cfg_dir / f"{name}.yaml").write_text(body)
+    return str(cfg_dir)
+
+
+def test_resolution_order_yaml_over_default_cli_over_yaml(tmp_path):
+    cfg_dir = write_config(tmp_path, "t", "batch_size: 17\nlr_gen: 0.5\n")
+    parser = build_core_parser()
+    args, default_args, modules, _ = get_args_and_modules(
+        parser, configs_dir=cfg_dir,
+        argv=["--config_name", "t", "--lr_gen", "0.25"])
+    assert args.batch_size == 17          # yaml beats argparse default (8)
+    assert args.lr_gen == 0.25            # CLI beats yaml
+    assert default_args.batch_size == 17  # defaults-namespace includes yaml
+
+
+def test_resolution_custom_args_between_yaml_and_cli(tmp_path):
+    cfg_dir = write_config(tmp_path, "t", "batch_size: 17\n")
+    parser = build_core_parser()
+    args, _, _, _ = get_args_and_modules(
+        parser, configs_dir=cfg_dir, custom_args={"batch_size": 21},
+        argv=["--config_name", "t"])
+    assert args.batch_size == 21          # custom beats yaml
+
+    parser = build_core_parser()
+    args, _, _, _ = get_args_and_modules(
+        parser, configs_dir=cfg_dir, custom_args={"batch_size": 21},
+        argv=["--config_name", "t", "--batch_size", "3"])
+    assert args.batch_size == 3           # CLI beats custom
+
+
+def test_plugin_args_registered_two_phase(tmp_path):
+    """Selecting a generator makes its own flags parseable (reference
+    utils/utils.py:126-149)."""
+    cfg_dir = write_config(
+        tmp_path, "t",
+        "generator: vector_pose_unsupervised_segmentation_noBottleneck\n")
+    parser = build_core_parser()
+    args, _, modules, _ = get_args_and_modules(
+        parser, configs_dir=cfg_dir,
+        argv=["--config_name", "t", "--gen_num_residual_blocks", "5"])
+    assert args.gen_num_residual_blocks == 5
+    assert modules["generators"] is not None
+
+
+def test_checkpoint_args_participate_in_resolution(tmp_path):
+    """Level 2: args stored in a checkpoint become parser defaults,
+    overridable by YAML and CLI (reference utils/utils.py:104-122)."""
+    import json
+    ckpt = tmp_path / "model_00000001.ckpt"
+    ckpt.mkdir()
+    (ckpt / "meta.json").write_text(json.dumps({
+        "format_version": 1, "iteration": 7, "finetune": False,
+        "args": {"batch_size": 33, "image_size": 48,
+                 "embedder": "simple_conv"}}))
+
+    cfg_dir = write_config(tmp_path, "t", "image_size: 64\n")
+    parser = build_core_parser()
+    args, _, modules, ckpt_args = get_args_and_modules(
+        parser, configs_dir=cfg_dir,
+        argv=["--config_name", "t", "--checkpoint_path", str(ckpt)])
+    assert ckpt_args["batch_size"] == 33
+    assert args.batch_size == 33          # checkpoint beats default
+    assert args.image_size == 64          # yaml beats checkpoint
+    assert args.iteration == 7            # resume counter travels in args
+    assert modules["embedders"] is not None  # module choice from checkpoint
+
+
+def test_yaml_env_interpolation(tmp_path, monkeypatch):
+    monkeypatch.setenv("LPT_TEST_ROOT", "/data/somewhere")
+    cfg_dir = write_config(tmp_path, "t", "data_root: ${LPT_TEST_ROOT}/vox\n")
+    parser = build_core_parser()
+    args, _, _, _ = get_args_and_modules(parser, configs_dir=cfg_dir,
+                                         argv=["--config_name", "t"])
+    assert args.data_root == "/data/somewhere/vox"
