@@ -304,12 +304,17 @@ def make_train_step(models, criteria, args, opt_g, opt_d, donate=False):
 
         # EMA over embedder + generator params (reference holycow.py:99-109);
         # buffers (batch_stats) are copied, i.e. shared with the live model.
+        # --no-weights_running_average disables tracking entirely (reference
+        # train.py:163-164: running_averages = None).
         def ema_update(avg, p):
             return jax.tree_util.tree_map(
                 lambda a, b: a * ema_alpha + b * (1.0 - ema_alpha), avg, p)
 
-        new_ema = {k: ema_update(state.ema_params[k], new_params[k])
-                   for k in state.ema_params}
+        if getattr(args, "weights_running_average", True):
+            new_ema = {k: ema_update(state.ema_params[k], new_params[k])
+                       for k in state.ema_params}
+        else:
+            new_ema = state.ema_params
 
         new_state = state.replace(
             step=state.step + 1,

@@ -28,16 +28,18 @@ def make_eval_forward(models, args):
     ``set_use_running_averages`` + ``set_compute_losses(False)``)."""
     finetune = bool(args.finetune)
     train_mode = not args.set_eval_mode_in_test
+    use_ema = bool(getattr(args, "weights_running_average", True))
 
     def eval_forward(state, batch):
         params = dict(state.params)
-        params["embedder"] = state.ema_params.get(
-            "embedder", params["embedder"])
-        params["generator"] = state.ema_params.get(
-            "generator", params["generator"])
-        if finetune and "finetune_embedding" in state.ema_params:
-            params["finetune_embedding"] = \
-                state.ema_params["finetune_embedding"]
+        if use_ema:
+            params["embedder"] = state.ema_params.get(
+                "embedder", params["embedder"])
+            params["generator"] = state.ema_params.get(
+                "generator", params["generator"])
+            if finetune and "finetune_embedding" in state.ema_params:
+                params["finetune_embedding"] = \
+                    state.ema_params["finetune_embedding"]
         data_dict, _, _ = forward(
             models, params, state.batch_stats, state.spectral, batch,
             rng=None, train=train_mode, finetune=finetune,
