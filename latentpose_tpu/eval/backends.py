@@ -104,7 +104,6 @@ class ArcFaceBackend:
         from latentpose_tpu.eval.arcface import (ArcFaceR100,
                                                  normalize_embeddings)
         self.model = ArcFaceR100()
-        raw = np.load(weights_path)
         from latentpose_tpu.losses.common.perceptual_loss import \
             _load_npz_params  # same flat-npz format
         self.variables = _load_npz_params(weights_path)

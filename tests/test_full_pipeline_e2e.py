@@ -1,0 +1,72 @@
+"""The whole product lifecycle in one test: meta-train -> checkpoint ->
+resume -> fine-tune -> drive -> mp4 (hermetic, tiny shapes, 8-device mesh
+for the meta phase)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+COMMON = [
+    "--embedder", "simple_conv",
+    "--generator", "vector_pose_unsupervised_segmentation_noBottleneck",
+    "--discriminator", "no_landmarks",
+    "--runner", "holycow",
+    "--image_size", "32", "--num_channels", "8", "--max_num_channels", "32",
+    "--embed_channels", "32", "--pose_embedding_size", "16",
+    "--dis_num_blocks", "4",
+]
+
+
+@pytest.mark.slow
+def test_meta_finetune_drive_lifecycle(tmp_path):
+    from latentpose_tpu.cli.train import main as train_main
+    from latentpose_tpu.cli.drive import main as drive_main
+
+    # 1) meta-train on the 8-device mesh
+    state = train_main(COMMON + [
+        "--dataloader", "synthetic", "--criterions", "adversarial, featmat, dice",
+        "--metrics", "",
+        "--batch_size", "8", "--num_devices", "8",
+        "--synthetic_num_labels", "8", "--num_epochs", "2",
+        "--log_frequency_images", "9999",
+        "--log_frequency_fixed_images", "9999",
+        "--experiments_dir", str(tmp_path), "--experiment_name", "meta",
+    ])
+    ckpts = sorted((tmp_path / "meta" / "checkpoints").iterdir())
+    assert ckpts
+    meta_ckpt = str(ckpts[-1])
+    meta_step = int(state.step)
+    assert meta_step == 2
+
+    # 2) fine-tune from the meta checkpoint (RAdam, EMA alpha 0.972,
+    #    1-row W, finetune_embedding leaf)
+    state = train_main([
+        "--checkpoint_path", meta_ckpt,
+        "--dataloader", "synthetic",
+        "--criterions", "adversarial, featmat, dice",
+        "--metrics", "",
+        "--finetune", "--optimizer", "RAdam",
+        "--lr_gen", "5e-4", "--lr_dis", "8e-4",
+        "--num_devices", "1", "--num_epochs", "3",
+        "--log_frequency_images", "9999",
+        "--log_frequency_fixed_images", "9999",
+        "--save_frequency", "0",
+        "--experiments_dir", str(tmp_path), "--experiment_name", "ft",
+    ])
+    assert "finetune_embedding" in state.params
+    assert int(state.step) > meta_step  # iteration counter continued
+    ft_ckpts = sorted((tmp_path / "ft" / "checkpoints").iterdir())
+    assert len(ft_ckpts) == 1  # save_frequency 0 -> only at the end
+
+    # 3) drive the avatar; checkpoint args should supply every module choice
+    results = drive_main([
+        str(ft_ckpts[-1]),
+        "--images_paths", "synthetic://5",
+        "--destination", str(tmp_path / "driving"),
+        "--drive_batch_size", "8",
+    ])
+    assert len(results) == 1
+    out = Path(results[0])
+    assert out.exists() and out.stat().st_size > 0
