@@ -75,13 +75,15 @@ def main(argv=None):
     parser.add("--destination", type=str, default="driving_results")
     parser.add("--drive_batch_size", type=int, default=32)
 
-    # Reference CLI takes the checkpoint positionally; rewrite it to
-    # --checkpoint_path *before* resolution so the saved args merge in
-    # (resolution level 2).
+    # Reference CLI: ``drive.py CHECKPOINT [DATA_ROOT] --images_paths ...``;
+    # rewrite positionals to flags *before* resolution so the saved
+    # checkpoint args merge in (resolution level 2).
     import sys
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and not argv[0].startswith("-"):
         argv = ["--checkpoint_path", argv.pop(0)] + argv
+    if len(argv) > 2 and not argv[2].startswith("-"):
+        argv = argv[:2] + ["--data_root", argv[2]] + argv[3:]
 
     args, _, modules, _ = get_args_and_modules(parser, argv=argv)
     if not args.checkpoint_path or not os.path.exists(
@@ -120,7 +122,14 @@ def main(argv=None):
     os.makedirs(args.destination, exist_ok=True)
     results = []
     for images_path in args.images_paths:
-        frames = load_driver_frames(images_path, args.image_size)
+        # reference semantics: driver dirs are relative to
+        # <data_root>/<img_dir> when a data_root is given
+        resolved = images_path
+        if args.data_root and not str(images_path).startswith("synthetic"):
+            candidate = Path(args.data_root) / args.img_dir / images_path
+            if candidate.exists():
+                resolved = candidate
+        frames = load_driver_frames(resolved, args.image_size)
         outputs = drive_lib.drive_sequence(
             drive_fn, state, frames, batch_size=args.drive_batch_size,
             mesh=mesh)
