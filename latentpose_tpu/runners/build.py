@@ -58,6 +58,8 @@ def init_variables(args, models, rng):
                                     jnp.float32),
         "dec_stickmen": jnp.zeros((1, 1, h, w, 3), jnp.float32),
         "dec_keypoints": jnp.zeros((1, 1, 136), jnp.float32),
+        "enc_rgbs": jnp.zeros((1, 1, h, w, 3), jnp.float32),
+        "pose_input_rgbs": jnp.zeros((1, 1, h, w, 3), jnp.float32),
     }
     gen_inputs = {k: v for k, v in gen_inputs.items()
                   if k in models["generator"].INPUT_KEYS}
@@ -76,10 +78,12 @@ def init_train_state(args, models, opt_g, opt_d, rng,
                      finetune_embedding=None) -> TrainState:
     emb_vars, gen_vars, dis_vars = init_variables(args, models, rng)
 
+    # Collections may be absent (e.g. the X2Face passthrough embedder has no
+    # params at all, the none-discriminator no spectral state).
     params = {
-        "embedder": emb_vars["params"],
-        "generator": gen_vars["params"],
-        "discriminator": dis_vars["params"],
+        "embedder": emb_vars.get("params", {}),
+        "generator": gen_vars.get("params", {}),
+        "discriminator": dis_vars.get("params", {}),
     }
     if finetune:
         if finetune_embedding is None:
@@ -89,8 +93,8 @@ def init_train_state(args, models, opt_g, opt_d, rng,
 
     batch_stats = {"embedder": emb_vars.get("batch_stats", {})}
     spectral = {"embedder": emb_vars.get("spectral", {}),
-                "generator": gen_vars["spectral"],
-                "discriminator": dis_vars["spectral"]}
+                "generator": gen_vars.get("spectral", {}),
+                "discriminator": dis_vars.get("spectral", {})}
 
     ema_params = {"embedder": copy.deepcopy(params["embedder"]),
                   "generator": copy.deepcopy(params["generator"])}

@@ -1,0 +1,68 @@
+"""X2Face reproduction through the runner: passthrough embedder + dual-UNet
+warp generator + none discriminator + reconstruction losses (the reference's
+X2Face config trains without an adversarial term)."""
+
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from latentpose_tpu.losses import l1_rgb
+from latentpose_tpu.models.discriminators import none as none_dis
+from latentpose_tpu.models.embedders import X2Face as x2face_emb
+from latentpose_tpu.models.generators import X2Face as x2face_gen
+from latentpose_tpu.runners import build, holycow
+from latentpose_tpu.data.synthetic import SyntheticDataLoader
+
+IMG = 32
+
+
+def test_x2face_train_step():
+    args = types.SimpleNamespace(
+        image_size=IMG, in_channels=3, out_channels=3, num_channels=4,
+        max_num_channels=16, embed_channels=16, pose_embedding_size=8,
+        num_labels=4, optimizer="Adam", lr_gen=1e-3, lr_dis=1e-3, beta1=0.0,
+        finetune=False, iteration=0, set_eval_mode_in_train=False,
+        batch_size=2, random_seed=0, l1_weight=30.0,
+        use_pixelwise_augs=False, use_affine_scale=False,
+        use_affine_shift=False, X2Face_num_identity_images=1)
+    models = {
+        "embedder": x2face_emb.Wrapper.get_net(args),
+        "generator": x2face_gen.Wrapper.get_net(args),
+        "discriminator": none_dis.Wrapper.get_net(args),
+    }
+    criteria = [l1_rgb.Criterion(args.l1_weight)]
+    opt_g, opt_d = build.build_optimizers(args,
+                                          {"discriminators": none_dis})
+    state = build.init_train_state(args, models, opt_g, opt_d,
+                                   jax.random.PRNGKey(0))
+    step_fn = holycow.make_train_step(models, criteria, args, opt_g, opt_d)
+
+    loader = SyntheticDataLoader(IMG, 2, num_labels=4, num_enc_frames=2)
+    data, target = loader.get_batch(0)
+    batch = {**data, **target}
+    s1, scalars = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(scalars["Loss_l1_rgb"]))
+    assert float(scalars["loss_D"]) == 0.0  # none-discriminator
+
+    # reconstruction loss should fall over a few steps (the warp network
+    # learns to sample the embedded face)
+    s = s1
+    first = float(scalars["Loss_l1_rgb"])
+    for i in range(6):
+        s, scalars = step_fn(s, batch, jax.random.fold_in(
+            jax.random.PRNGKey(2), i))
+    assert float(scalars["Loss_l1_rgb"]) < first
+
+
+def test_x2face_generator_warp_is_driver_dependent():
+    g = x2face_gen.Generator()
+    inputs = {"enc_rgbs": jnp.ones((1, 2, IMG, IMG, 3)) * 0.5,
+              "pose_input_rgbs": jnp.zeros((1, 1, IMG, IMG, 3))}
+    v = g.init(jax.random.PRNGKey(0), inputs)
+    out1, _ = g.apply(v, inputs)
+    inputs2 = {**inputs,
+               "pose_input_rgbs": jnp.ones((1, 1, IMG, IMG, 3))}
+    out2, _ = g.apply(v, inputs2)
+    assert float(jnp.abs(out1 - out2).max()) > 1e-6
