@@ -31,10 +31,6 @@ def get_args(parser):
     return parser
 
 
-def _per_sample(key, batch, n=1):
-    return jax.random.split(key, batch * n).reshape(batch, n, 2)
-
-
 def _bernoulli(key, batch, p=0.5):
     return jax.random.bernoulli(key, p, (batch,))
 
