@@ -42,17 +42,24 @@ class Criterion:
         fake_score_G = data_dict["fake_score_G"]
         fake_score_D = data_dict["fake_score_D"]
         real_score = data_dict["real_score"]
+        # G-branch aliases: stop-gradiented D-side scores (torch computes
+        # those D-grads during loss_G.backward() and then discards them —
+        # reference holycow.py:239-252; we must not let them reach opt_D)
+        real_for_G = data_dict.get("real_score_for_G", real_score)
+        fake_D_for_G = data_dict.get("fake_score_D_for_G", fake_score_D)
 
         real_pred, fake_pred_D = self._dis_preds(real_score, fake_score_D)
-        _, fake_pred_G = self._dis_preds(real_score, fake_score_G)
-
         loss_D = (jnp.maximum(1.0 - real_pred, 0.0).mean()
                   + jnp.maximum(1.0 + fake_pred_D, 0.0).mean())
 
+        # NB: reference loss_G reuses `real_pred` (computed against
+        # fake_score_D), not a fake_G-relative one (adversarial.py:39-47).
+        real_pred_g, _ = self._dis_preds(real_for_G, fake_D_for_G)
+        _, fake_pred_G = self._dis_preds(real_for_G, fake_score_G)
         if self.gan_type == "gan":
             loss_G = -fake_pred_G.mean()
         else:
-            loss_G = (jnp.maximum(1.0 + real_pred, 0.0).mean()
+            loss_G = (jnp.maximum(1.0 + real_pred_g, 0.0).mean()
                       + jnp.maximum(1.0 - fake_pred_G, 0.0).mean())
 
         return {"adversarial_G": loss_G}, {"adversarial_D": loss_D}

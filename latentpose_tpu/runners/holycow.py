@@ -208,6 +208,7 @@ def forward(models, params, batch_stats, spectral, batch,
     data_dict["real_embedding"] = f32(embed_rows)
     data_dict["fake_score_G"] = f32(fake_score_G)
     data_dict["fake_score_D"] = f32(fake_score_D)
+    data_dict["fake_score_D_for_G"] = f32(sg(fake_score_D))
     # Live for loss_D; stop-gradiented alias for any loss_G use (rgan/ragan).
     data_dict["real_score"] = f32(real_score)
     data_dict["real_score_for_G"] = f32(sg(real_score))
