@@ -19,7 +19,8 @@ WORKER = textwrap.dedent("""
     import jax
     jax.config.update("jax_platforms", "cpu")
     proc_id = int(sys.argv[1]); ckpt_dir = sys.argv[2]
-    jax.distributed.initialize(coordinator_address="127.0.0.1:29871",
+    port = sys.argv[3]
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                                num_processes=2, process_id=proc_id)
     assert jax.process_count() == 2 and len(jax.devices()) == 4
 
@@ -90,14 +91,20 @@ WORKER = textwrap.dedent("""
 @pytest.mark.slow
 def test_two_process_training_step(tmp_path):
     import json
+    import socket
+    # ephemeral coordinator port: a fixed one collides when the suite (or a
+    # stray earlier run) already used it
+    with socket.socket() as sock:
+        sock.bind(("127.0.0.1", 0))
+        port = sock.getsockname()[1]
     procs = [subprocess.Popen(
-        [sys.executable, "-c", WORKER, str(i), str(tmp_path)],
+        [sys.executable, "-c", WORKER, str(i), str(tmp_path), str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         cwd=str(Path(__file__).resolve().parent.parent))
         for i in range(2)]
     results = []
     for p in procs:
-        out, err = p.communicate(timeout=540)
+        out, err = p.communicate(timeout=900)
         assert p.returncode == 0, err[-2000:]
         results.append(json.loads(out.strip().splitlines()[-1]))
 
