@@ -109,3 +109,54 @@ def test_resblock_in_norm_parity(cin, cout, upsample):
                   jnp.asarray(to_nhwc(x.numpy())), update_stats=False)
     np.testing.assert_allclose(np.asarray(got), to_nhwc(expected),
                                rtol=2e-4, atol=2e-4)
+
+
+class TorchRefResBlockReflect(tnn.Module):
+    """Reference ResBlock with reflection padding (blocks.py: padding(1) +
+    conv(pad=0))."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.block = tnn.Sequential(
+            tnn.InstanceNorm2d(cin, eps=1e-4, affine=True), tnn.ReLU(),
+            tnn.ReflectionPad2d(1),
+            torch_sn(tnn.Conv2d(cin, cout, 3, 1, 0, bias=False), eps=1e-4),
+            tnn.InstanceNorm2d(cout, eps=1e-4, affine=True), tnn.ReLU(),
+            tnn.ReflectionPad2d(1),
+            torch_sn(tnn.Conv2d(cout, cout, 3, 1, 0, bias=False), eps=1e-4),
+        )
+        self.skip = torch_sn(tnn.Conv2d(cin, cout, 1), eps=1e-4) \
+            if cin != cout else None
+
+    def forward(self, x):
+        return self.block(x) + (self.skip(x) if self.skip else x)
+
+
+def test_resblock_reflection_padding_parity():
+    from convert_torch_weights import sn_conv
+    from latentpose_tpu.nn.blocks import ResBlock
+
+    torch.manual_seed(2)
+    ref = TorchRefResBlockReflect(8, 16).eval()
+    x = torch.randn(2, 8, 8, 8)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, spectral = {}, {}
+    p, s = sn_conv(sd, "block.3")
+    params["conv0"], spectral["conv0"] = p, s
+    p, s = sn_conv(sd, "block.7")
+    params["conv1"], spectral["conv1"] = p, s
+    params["norm0"] = {"weight": sd["block.0.weight"],
+                       "bias": sd["block.0.bias"]}
+    params["norm1"] = {"weight": sd["block.4.weight"],
+                       "bias": sd["block.4.bias"]}
+    p, s = sn_conv(sd, "skip")
+    params["skip"], spectral["skip"] = p, s
+
+    m = ResBlock(8, 16, norm_layer="in", padding="reflection")
+    got = m.apply({"params": params, "spectral": spectral},
+                  jnp.asarray(to_nhwc(x.numpy())), update_stats=False)
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(expected),
+                               rtol=2e-4, atol=2e-4)
