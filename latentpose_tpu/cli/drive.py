@@ -106,6 +106,14 @@ def main(argv=None):
     skeleton = build.init_train_state(args, models, opt_g, opt_d, rng,
                                       finetune=True)
     state = ckpt_lib.restore_state(args.checkpoint_path, skeleton)
+    # fine-tune leaves the skeleton couldn't anticipate (e.g. X2Face's
+    # saved identity images) — inject them from the raw arrays
+    saved_params = ckpt_lib.load_arrays(args.checkpoint_path).get("params",
+                                                                  {})
+    extra = {k: v for k, v in saved_params.items()
+             if k.startswith("finetune_") and k not in state.params}
+    if extra:
+        state = state.replace(params={**state.params, **extra})
     logger.info("Loaded fine-tuned checkpoint %s (iteration %d)",
                 args.checkpoint_path, int(state.step))
 

@@ -15,6 +15,7 @@ import logging
 import os
 import signal
 import sys
+from pathlib import Path
 
 import jax
 import numpy as np
@@ -92,6 +93,27 @@ def main(argv=None):
         state = build.init_train_state(args, models, opt_g, opt_d, rng)
 
     criteria = build.build_criteria(args, modules)
+
+    # X2Face "fine-tuning": the frozen model just stores the avatar's
+    # identity images and exits (reference train.py:222-243).
+    if args.finetune and getattr(models["generator"], "FINETUNE_PARAM",
+                                 "embedding") == "none":
+        max_imgs = int(getattr(args, "X2Face_num_identity_images", 8) or 8)
+        collected = []
+        for data_dict, _ in dataloader_train:
+            collected.append(np.asarray(data_dict["pose_input_rgbs"][:, 0]))
+            if sum(len(c) for c in collected) >= max_imgs:
+                break
+        identity_images = np.concatenate(collected)[:max_imgs]
+        logger.info("Saving X2Face model with %d identity images",
+                    len(identity_images))
+        state = state.replace(params={
+            **state.params,
+            "finetune_identity_images": identity_images[None]})
+        args.experiment_dir = str(
+            Path(args.experiments_dir) / (args.experiment_name or "x2face"))
+        ckpt_lib.save_checkpoint(args.experiment_dir, state, args)
+        return state
 
     # Fine-tune re-parameterization (skip if resuming a fine-tuned ckpt).
     if args.finetune and not ckpt_meta_finetune:

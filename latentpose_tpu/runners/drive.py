@@ -33,27 +33,41 @@ def make_drive_fn(models, args, use_ema: bool = True):
         if getattr(args, "compute_dtype", "float32") == "bfloat16" \
         else jnp.float32
 
+    # self-contained generators (X2Face) consume identity images + driver
+    # frames directly instead of embeddings
+    self_contained = "enc_rgbs" in getattr(generator, "INPUT_KEYS", ())
+
     def drive_step(state, pose_frames):
         emb_params = (state.ema_params.get("embedder")
                       if use_ema else None) or state.params["embedder"]
         gen_params = (state.ema_params.get("generator")
                       if use_ema else None) or state.params["generator"]
-        identity = state.params["finetune_embedding"]
-        if use_ema and "finetune_embedding" in state.ema_params:
-            identity = state.ema_params["finetune_embedding"]
-
-        x = pose_frames.astype(compute_dtype)
-        pose = embedder.apply(
-            {"params": emb_params,
-             "batch_stats": state.batch_stats["embedder"]},
-            x[:, None], train=False, method="get_pose_embedding")
 
         bsz = pose_frames.shape[0]
-        idt = jnp.broadcast_to(identity, (bsz,) + identity.shape[1:])
-        gen_inputs = {"embeds": idt.astype(compute_dtype),
-                      "pose_embedding": pose.astype(compute_dtype)}
+        x = pose_frames.astype(compute_dtype)
+        if self_contained:
+            idt_imgs = state.params["finetune_identity_images"]
+            gen_inputs = {
+                "enc_rgbs": jnp.broadcast_to(
+                    idt_imgs, (bsz,) + idt_imgs.shape[1:]).astype(
+                        compute_dtype),
+                "pose_input_rgbs": x[:, None]}
+        else:
+            pose = embedder.apply(
+                {"params": emb_params,
+                 "batch_stats": state.batch_stats["embedder"],
+                 "spectral": state.spectral.get("embedder", {})},
+                x[:, None], train=False, method="get_pose_embedding")
+            identity = state.params["finetune_embedding"]
+            if use_ema and "finetune_embedding" in state.ema_params:
+                identity = state.ema_params["finetune_embedding"]
+            idt = jnp.broadcast_to(identity, (bsz,) + identity.shape[1:])
+            gen_inputs = {"embeds": idt.astype(compute_dtype),
+                          "pose_embedding": pose.astype(compute_dtype)}
+
         rgbs, segm = generator.apply(
-            {"params": gen_params, "spectral": state.spectral["generator"]},
+            {"params": gen_params,
+             "spectral": state.spectral["generator"]},
             gen_inputs, update_stats=False)
         segm = jnp.ones_like(rgbs[..., :1]) if segm is None else segm
         return rgbs.astype(jnp.float32), segm.astype(jnp.float32)

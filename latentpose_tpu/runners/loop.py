@@ -44,9 +44,12 @@ def make_eval_forward(models, args):
             models, params, state.batch_stats, state.spectral, batch,
             rng=None, train=train_mode, finetune=finetune,
             update_stats=False, compute_losses=False)
-        return {"fake_rgbs": data_dict["fake_rgbs"],
-                "fake_segm": data_dict["fake_segm"],
-                "pose_embedding": data_dict["pose_embedding"]}
+        out = {"fake_rgbs": data_dict["fake_rgbs"]}
+        if data_dict.get("fake_segm") is not None:  # no-segm families
+            out["fake_segm"] = data_dict["fake_segm"]
+        if data_dict.get("pose_embedding") is not None:
+            out["pose_embedding"] = data_dict["pose_embedding"]
+        return out
 
     return jax.jit(eval_forward)
 

@@ -66,3 +66,40 @@ def test_x2face_generator_warp_is_driver_dependent():
                "pose_input_rgbs": jnp.ones((1, 1, IMG, IMG, 3))}
     out2, _ = g.apply(v, inputs2)
     assert float(jnp.abs(out1 - out2).max()) > 1e-6
+
+
+def test_x2face_finetune_saves_identity_images_and_drives(tmp_path):
+    """Reference X2Face fine-tune stores the avatar's identity images into
+    the (frozen) model and exits (train.py:222-243); driving then warps
+    them.  Exercise that whole flow through the real CLIs."""
+    from latentpose_tpu.cli.train import main as train_main
+    from latentpose_tpu.cli.drive import main as drive_main
+
+    common = [
+        "--embedder", "X2Face", "--generator", "X2Face",
+        "--discriminator", "none", "--runner", "holycow",
+        "--criterions", "l1_rgb",
+        "--dataloader", "synthetic",
+        "--image_size", "32", "--embed_channels", "16",
+        "--pose_embedding_size", "8",
+        "--batch_size", "2", "--num_devices", "1",
+        "--log_frequency_images", "9999",
+        "--log_frequency_fixed_images", "9999",
+        "--experiments_dir", str(tmp_path),
+    ]
+    train_main(common + ["--num_epochs", "1",
+                         "--experiment_name", "x2face_meta"])
+    ckpts = sorted((tmp_path / "x2face_meta" / "checkpoints").iterdir())
+
+    state = train_main(common + [
+        "--finetune", "--checkpoint_path", str(ckpts[-1]),
+        "--X2Face_num_identity_images", "3",
+        "--experiment_name", "x2face_ft"])
+    assert "finetune_identity_images" in state.params
+    assert state.params["finetune_identity_images"].shape[1] == 3
+
+    ft_ckpts = sorted((tmp_path / "x2face_ft" / "checkpoints").iterdir())
+    results = drive_main([
+        str(ft_ckpts[-1]), "--images_paths", "synthetic://1",
+        "--destination", str(tmp_path / "drv"), "--drive_batch_size", "4"])
+    assert results and results[0].exists()
