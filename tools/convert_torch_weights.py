@@ -355,7 +355,9 @@ def convert_fan(sd):
     put_convblock("conv2", "conv2")
     put_convblock("conv3", "conv3")
     put_convblock("conv4", "conv4")
-    for m in range(4):
+    num_modules = sum(1 for k in sd if k.startswith("l")
+                      and k.endswith(".weight") and k[1:-7].isdigit())
+    for m in range(num_modules):
         for level in range(4, 0, -1):
             put_convblock(f"m{m}/b1_{level}", f"m{m}.b1_{level}")
             put_convblock(f"m{m}/b2_{level}", f"m{m}.b2_{level}")
@@ -366,7 +368,7 @@ def convert_fan(sd):
         put_conv(f"conv_last{m}", f"conv_last{m}")
         put_bn(f"bn_end{m}", f"bn_end{m}")
         put_conv(f"l{m}", f"l{m}")
-        if m < 3:
+        if m < num_modules - 1:
             put_conv(f"bl{m}", f"bl{m}")
             put_conv(f"al{m}", f"al{m}")
     return flat
