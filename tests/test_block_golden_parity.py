@@ -160,3 +160,45 @@ def test_resblock_reflection_padding_parity():
                   jnp.asarray(to_nhwc(x.numpy())), update_stats=False)
     np.testing.assert_allclose(np.asarray(got), to_nhwc(expected),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_grouped_conv_conversion_parity():
+    """ResNeXt's grouped 3x3 conv: torch (O, I/g, kh, kw) -> flax HWIO with
+    feature_group_count — the subtlest kernel-layout conversion in the
+    embedder converter."""
+    import flax.linen as fnn
+    from convert_torch_weights import conv_kernel
+
+    torch.manual_seed(7)
+    conv = tnn.Conv2d(64, 64, 3, padding=1, groups=32, bias=False).eval()
+    x = torch.randn(2, 64, 8, 8)
+    with torch.no_grad():
+        expected = conv(x).numpy()
+
+    kernel = conv_kernel(conv.weight.detach().numpy())
+    m = fnn.Conv(64, (3, 3), padding=1, feature_group_count=32,
+                 use_bias=False)
+    got = m.apply({"params": {"kernel": jnp.asarray(kernel)}},
+                  jnp.asarray(to_nhwc(x.numpy())))
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(expected),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_depthwise_conv_conversion_parity():
+    """MobileNetV2's depthwise conv (groups == channels)."""
+    import flax.linen as fnn
+    from convert_torch_weights import conv_kernel
+
+    torch.manual_seed(8)
+    conv = tnn.Conv2d(32, 32, 3, padding=1, groups=32, bias=False).eval()
+    x = torch.randn(2, 32, 8, 8)
+    with torch.no_grad():
+        expected = conv(x).numpy()
+
+    kernel = conv_kernel(conv.weight.detach().numpy())
+    m = fnn.Conv(32, (3, 3), padding=1, feature_group_count=32,
+                 use_bias=False)
+    got = m.apply({"params": {"kernel": jnp.asarray(kernel)}},
+                  jnp.asarray(to_nhwc(x.numpy())))
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(expected),
+                               rtol=2e-4, atol=2e-4)

@@ -88,8 +88,7 @@ WORKER = textwrap.dedent("""
 """)
 
 
-@pytest.mark.slow
-def test_two_process_training_step(tmp_path):
+def _run_two_process(tmp_path):
     import json
     import socket
     # ephemeral coordinator port: a fixed one collides when the suite (or a
@@ -107,6 +106,21 @@ def test_two_process_training_step(tmp_path):
         out, err = p.communicate(timeout=900)
         assert p.returncode == 0, err[-2000:]
         results.append(json.loads(out.strip().splitlines()[-1]))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_training_step(tmp_path):
+    # under full-suite CPU contention the coordinator handshake can flake;
+    # one retry with a fresh port separates environment noise from real bugs
+    try:
+        results = _run_two_process(tmp_path / "try1")
+        tmp_path = tmp_path / "try1"
+    except (AssertionError, subprocess.TimeoutExpired) as first:
+        import warnings
+        warnings.warn(f"multihost attempt 1 flaked, retrying: {first}")
+        results = _run_two_process(tmp_path / "try2")
+        tmp_path = tmp_path / "try2"
 
     by_proc = {r["proc"]: r for r in results}
     # both hosts computed the same global loss
