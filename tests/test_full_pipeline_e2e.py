@@ -70,3 +70,30 @@ def test_meta_finetune_drive_lifecycle(tmp_path):
     assert len(results) == 1
     out = Path(results[0])
     assert out.exists() and out.stat().st_size > 0
+
+    # 4) multi-chip serving: same drive over the 8-device mesh must produce
+    #    (numerically) the same video
+    results8 = drive_main([
+        str(ft_ckpts[-1]),
+        "--images_paths", "synthetic://5",
+        "--destination", str(tmp_path / "driving8"),
+        "--drive_batch_size", "8", "--num_devices", "8",
+    ])
+    import cv2
+
+    def frames_of(path):
+        cap = cv2.VideoCapture(str(path))
+        frames = []
+        while True:
+            ok, img = cap.read()
+            if not ok:
+                break
+            frames.append(img)
+        cap.release()
+        return np.stack(frames)
+
+    f1 = frames_of(out)
+    f8 = frames_of(results8[0])
+    assert f1.shape == f8.shape
+    # mp4 is lossy; codec-level closeness is enough to catch sharding bugs
+    assert np.abs(f1.astype(int) - f8.astype(int)).mean() < 2.0

@@ -118,3 +118,31 @@ def test_sn_conv_conversion_numeric_parity():
         x.numpy().transpose(0, 2, 3, 1)), False)
     got = np.asarray(got).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)
+
+
+def test_sn_embed_conversion_numeric_parity():
+    """torch spectral_norm(Embedding) == our SNEmbed with converted state
+    (the discriminator's projection matrix W)."""
+    from convert_torch_weights import sn_embed
+    import torch.nn as nn
+    from torch.nn.utils import spectral_norm as torch_sn
+
+    torch.manual_seed(3)
+    embed = nn.Embedding(6, 16)
+    embed.weight.data.uniform_(-0.1, 0.1)
+    embed = torch_sn(embed, eps=1e-4).eval()
+    labels = torch.tensor([0, 3, 5])
+    with torch.no_grad():
+        expected = embed(labels).numpy()
+
+    sd = {f"embed.{k}": v.detach().numpy()
+          for k, v in embed.state_dict().items()}
+    params, spectral = sn_embed(sd, "embed")
+
+    import jax.numpy as jnp
+    from latentpose_tpu.ops.spectral_norm import SNEmbed
+    m = SNEmbed(6, 16)
+    got = m.apply({"params": params, "spectral": spectral},
+                  jnp.asarray(labels.numpy()), False)
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-4,
+                               atol=2e-5)
