@@ -138,3 +138,36 @@ def test_graphonomy_architecture():
     mask = person_mask(probs)
     assert mask.shape == (1, 64, 64)
     assert 0.0 <= float(mask.min()) and float(mask.max()) <= 1.0
+
+
+def test_s3fd_decode_and_nms():
+    import jax.numpy as jnp
+    from latentpose_tpu.preprocess.s3fd import (STRIDES, SCALES,
+                                                decode_detections, nms)
+    # fabricate head outputs: one confident face on head 1 (stride 8,
+    # scale 32) at cell (4, 6), zero regression offsets
+    outputs = []
+    for i, stride in enumerate(STRIDES):
+        size = 64 // stride
+        cls = np.zeros((1, size, size, 2), np.float32)
+        reg = np.zeros((1, size, size, 4), np.float32)
+        if i == 1:
+            cls[0, 4, 6, 1] = 0.9
+        outputs.append((jnp.asarray(cls), jnp.asarray(reg)))
+    boxes = decode_detections(outputs, threshold=0.5)
+    assert boxes.shape == (1, 5)
+    l, t, r, b, score = boxes[0]
+    # center = cell * stride + stride/2; box side = scale
+    assert abs((l + r) / 2 - (6 * 8 + 4)) < 1e-4
+    assert abs((t + b) / 2 - (4 * 8 + 4)) < 1e-4
+    assert abs((r - l) - 32) < 1e-4
+    assert score == pytest.approx(0.9)
+
+    # NMS: overlapping boxes collapse to the highest-scoring one
+    cand = np.array([[0, 0, 10, 10, 0.9],
+                     [1, 1, 11, 11, 0.8],     # IoU ~0.68 with first
+                     [50, 50, 60, 60, 0.7]], np.float32)
+    kept = nms(cand, iou_threshold=0.3)
+    assert len(kept) == 2
+    assert kept[0][4] == pytest.approx(0.9)
+    assert kept[1][4] == pytest.approx(0.7)
