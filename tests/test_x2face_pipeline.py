@@ -103,3 +103,49 @@ def test_x2face_finetune_saves_identity_images_and_drives(tmp_path):
         str(ft_ckpts[-1]), "--images_paths", "synthetic://1",
         "--destination", str(tmp_path / "drv"), "--drive_batch_size", "4"])
     assert results and results[0].exists()
+
+
+def test_drive_from_frames_directory(tmp_path):
+    """Driving from a directory of image frames exercises the C++ native
+    batch decoder (or its cv2 fallback) inside the drive CLI."""
+    import cv2
+    from latentpose_tpu.data.synthetic import render_face
+    from latentpose_tpu.cli.drive import main as drive_main
+
+    # driver frames on disk
+    frames_dir = tmp_path / "driver_frames"
+    frames_dir.mkdir()
+    for f in range(6):
+        img = (render_face(4, f, 32)[0] * 255).astype(np.uint8)
+        cv2.imwrite(str(frames_dir / f"{f:03d}.jpg"), img[..., ::-1])
+
+    # reuse a tiny fine-tuned checkpoint built through the CLIs
+    from latentpose_tpu.cli.train import main as train_main
+    common = [
+        "--embedder", "simple_conv",
+        "--generator", "vector_pose_unsupervised_segmentation_noBottleneck",
+        "--discriminator", "no_landmarks", "--runner", "holycow",
+        "--criterions", "adversarial, featmat, dice",
+        "--dataloader", "synthetic",
+        "--image_size", "32", "--num_channels", "4",
+        "--max_num_channels", "16", "--embed_channels", "16",
+        "--pose_embedding_size", "8", "--dis_num_blocks", "3",
+        "--batch_size", "2", "--num_devices", "1",
+        "--log_frequency_images", "9999",
+        "--log_frequency_fixed_images", "9999",
+        "--experiments_dir", str(tmp_path)]
+    train_main(common + ["--num_epochs", "1", "--experiment_name", "meta"])
+    meta = sorted((tmp_path / "meta" / "checkpoints").iterdir())[-1]
+    train_main(common + ["--finetune", "--checkpoint_path", str(meta),
+                         "--num_epochs", "1", "--experiment_name", "ft"])
+    ft = sorted((tmp_path / "ft" / "checkpoints").iterdir())[-1]
+
+    results = drive_main([
+        str(ft), "--images_paths", str(frames_dir),
+        "--destination", str(tmp_path / "drv"), "--drive_batch_size", "4"])
+    assert results and results[0].exists()
+    cap = cv2.VideoCapture(str(results[0]))
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 6  # one output frame per driver frame
