@@ -19,7 +19,7 @@ falls back to GrabCut with a loud warning.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
