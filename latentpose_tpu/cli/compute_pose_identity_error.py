@@ -132,6 +132,10 @@ def main(argv=None):
     parser.add_argument("--num_frames", type=int, default=32)
     parser.add_argument("--image_size", type=int, default=256)
     parser.add_argument("--eval_weights_dir", type=str, default="data/weights")
+    parser.add_argument("--allow_proxy_eval", action="store_true",
+                        help="Run with deterministic proxy backends when "
+                             "ArcFace/FAN weights are absent (numbers not "
+                             "paper-comparable; see WEIGHTS.md)")
     args = parser.parse_args(argv)
 
     identities = list(args.identities)
@@ -142,9 +146,9 @@ def main(argv=None):
         identities = PAPER_IDENTITIES
 
     descriptor_backend = backends_lib.make_descriptor_backend(
-        args.eval_weights_dir)
+        args.eval_weights_dir, allow_proxy=args.allow_proxy_eval)
     landmark_backend = backends_lib.make_landmark_backend(
-        args.eval_weights_dir)
+        args.eval_weights_dir, allow_proxy=args.allow_proxy_eval)
     default_bbox = backends_lib.get_default_bbox(args.crop_type)
 
     gt_descriptors = compute_gt_descriptors(args, identities,

@@ -39,6 +39,11 @@ def build_core_parser() -> MyArgumentParser:
     # (reference train.py:49; ours expects .npz conversions, see
     # tools/convert_torch_weights.py)
     parser.add("--vgg_weights_dir", type=str, default="data/weights")
+    # Degraded-mode opt-in: without converted VGG/VGGFace weights the
+    # perceptual losses hard-error (the reference fails loudly too — its
+    # .pth files are load-bearing downloads).  Synthetic/test configs set
+    # this; real training must never silently run random towers.
+    parser.add("--allow_random_vgg", action="store_bool", default=False)
 
     # Training process
     parser.add("--num_epochs", type=int, default=10 ** 9)

@@ -1,18 +1,23 @@
 """Descriptor / landmark backends for the eval harness.
 
 Real backends (ArcFace-r100, FAN) activate when converted weights are found
-under ``--eval_weights_dir``; otherwise deterministic proxy backends keep the
-whole protocol runnable hermetically (rankings within one framework remain
-meaningful; absolute numbers are NOT comparable to the paper's — a loud
-warning says so).
+(discovery order: ``--eval_weights_dir``, $LATENTPOSE_WEIGHTS_DIR,
+<repo>/weights/).  Without weights, the factories HARD-ERROR unless
+``allow_proxy=True`` (CLI: ``--allow_proxy_eval``), in which case
+deterministic proxy backends keep the whole protocol runnable hermetically
+(absolute numbers are NOT comparable to the paper's — a loud warning says
+so).  The reference fails loudly too: it imports insightface/face-alignment
+models unconditionally (``compute_pose_identity_error.py:86-95``).
 """
 
 from __future__ import annotations
 
 import logging
-import os
 
 import numpy as np
+
+from latentpose_tpu.utils.weights import (find_weights_file,
+                                          missing_weights_error)
 
 logger = logging.getLogger("latentpose_tpu.eval.backends")
 
@@ -104,9 +109,8 @@ class ArcFaceBackend:
         from latentpose_tpu.eval.arcface import (ArcFaceR100,
                                                  normalize_embeddings)
         self.model = ArcFaceR100()
-        from latentpose_tpu.losses.common.perceptual_loss import \
-            _load_npz_params  # same flat-npz format
-        self.variables = _load_npz_params(weights_path)
+        from latentpose_tpu.utils.weights import load_flat_npz_variables
+        self.variables = load_flat_npz_variables(weights_path)
         self.flip = flip
 
         @jax.jit
@@ -157,10 +161,9 @@ class FANBackend:
     def __init__(self, weights_path):
         import jax
         from latentpose_tpu.eval.fan import FAN, heatmaps_to_landmarks
-        from latentpose_tpu.losses.common.perceptual_loss import \
-            _load_npz_params
+        from latentpose_tpu.utils.weights import load_flat_npz_variables
         self.model = FAN()
-        self.variables = _load_npz_params(weights_path)
+        self.variables = load_flat_npz_variables(weights_path)
 
         @jax.jit
         def detect(images):
@@ -178,15 +181,23 @@ class FANBackend:
         return lm * scale, True
 
 
-def make_descriptor_backend(weights_dir):
-    path = os.path.join(str(weights_dir or ""), "arcface_r100.npz")
-    if weights_dir and os.path.exists(path):
+def make_descriptor_backend(weights_dir, allow_proxy=False):
+    path = find_weights_file("arcface_r100.npz", weights_dir)
+    if path is not None:
         return ArcFaceBackend(path)
+    if not allow_proxy:
+        raise missing_weights_error(
+            "arcface_r100.npz", "identity-descriptor backend",
+            "--allow_proxy_eval", weights_dir)
     return ProxyDescriptorBackend()
 
 
-def make_landmark_backend(weights_dir):
-    path = os.path.join(str(weights_dir or ""), "fan_2d.npz")
-    if weights_dir and os.path.exists(path):
+def make_landmark_backend(weights_dir, allow_proxy=False):
+    path = find_weights_file("fan_2d.npz", weights_dir)
+    if path is not None:
         return FANBackend(path)
+    if not allow_proxy:
+        raise missing_weights_error(
+            "fan_2d.npz", "landmark backend", "--allow_proxy_eval",
+            weights_dir)
     return ProxyLandmarkBackend()

@@ -10,21 +10,27 @@ Behavioral parity with the reference ``criterions/common/perceptual_loss.py``:
   stop-gradiented, scaled by ``weight``.
 
 Pretrained weights come from ``tools/convert_torch_weights.py`` conversions of
-the reference's ``vgg19-d01eb7cb.pth`` / ``vgg_face_weights.pth``.  If absent,
-the tower is deterministically random-initialized — still a valid perceptual
-metric for hermetic tests, clearly logged.
+the reference's ``vgg19-d01eb7cb.pth`` / ``vgg_face_weights.pth`` (discovery
+order: explicit dir, $LATENTPOSE_WEIGHTS_DIR, <repo>/weights/ — see
+WEIGHTS.md).  If absent, construction HARD-ERRORS unless ``allow_random=True``
+(CLI: ``--allow_random_vgg``), in which case the tower is deterministically
+random-initialized — still a valid perceptual metric for hermetic tests, but
+explicitly not paper-parity.  The reference fails loudly too: it
+``torch.load``s the .pth files unconditionally
+(``criterions/common/perceptual_loss.py:32-60``).
 """
 
 from __future__ import annotations
 
 import logging
-import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from latentpose_tpu.nn.vgg import VGG16_CFG, VGG19_CFG, VGGFeatures
+from latentpose_tpu.utils.weights import (find_weights_file,
+                                          missing_weights_error)
 
 logger = logging.getLogger("latentpose_tpu.losses.perceptual")
 
@@ -55,7 +61,7 @@ class PerceptualLoss:
     """
 
     def __init__(self, weight, vgg_weights_dir, net="caffe",
-                 compute_dtype="float32"):
+                 compute_dtype="float32", allow_random=False):
         self.weight = float(weight)
         self.net = net
         self.compute_dtype = jnp.bfloat16 \
@@ -67,15 +73,18 @@ class PerceptualLoss:
                                   else None)
 
         path = None
-        if vgg_weights_dir and net in WEIGHT_FILES:
-            candidate = os.path.join(str(vgg_weights_dir), WEIGHT_FILES[net])
-            if os.path.exists(candidate):
-                path = candidate
+        if net in WEIGHT_FILES:
+            path = find_weights_file(WEIGHT_FILES[net], vgg_weights_dir)
         if path is not None:
             self.variables = _load_npz_params(path)
             logger.info("PerceptualLoss(%s): loaded weights from %s",
                         net, path)
         else:
+            if not allow_random:
+                raise missing_weights_error(
+                    WEIGHT_FILES.get(net, f"<{net}>"),
+                    f"PerceptualLoss({net})", "--allow_random_vgg",
+                    vgg_weights_dir)
             dummy = jnp.zeros((1, 32, 32, 3))
             self.variables = self.module.init(jax.random.PRNGKey(0), dummy)
             logger.warning(

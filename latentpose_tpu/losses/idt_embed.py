@@ -26,7 +26,9 @@ class Wrapper:
     def get_net(args):
         return Criterion(args.idt_embed_weight, args.vgg_weights_dir,
                          compute_dtype=getattr(args, "compute_dtype",
-                                               "float32"))
+                                               "float32"),
+                         allow_random=getattr(args, "allow_random_vgg",
+                                              False))
 
 
 def compute_bboxes_from_keypoints(keypoints):
@@ -53,10 +55,11 @@ def compute_bboxes_from_keypoints(keypoints):
 
 class Criterion:
     def __init__(self, idt_embed_weight, vgg_weights_dir,
-                 compute_dtype="float32"):
+                 compute_dtype="float32", allow_random=False):
         self.idt_embed_crit = PerceptualLoss(idt_embed_weight,
                                              vgg_weights_dir, net="face",
-                                             compute_dtype=compute_dtype)
+                                             compute_dtype=compute_dtype,
+                                             allow_random=allow_random)
 
     def __call__(self, data_dict):
         fake_rgb = strip_time(data_dict["fake_rgbs"])

@@ -15,15 +15,18 @@ class Wrapper:
     def get_net(args):
         return Criterion(args.perc_weight, args.vgg_weights_dir,
                          compute_dtype=getattr(args, "compute_dtype",
-                                               "float32"))
+                                               "float32"),
+                         allow_random=getattr(args, "allow_random_vgg",
+                                              False))
 
 
 class Criterion:
     def __init__(self, perc_weight, vgg_weights_dir,
-                 compute_dtype="float32"):
+                 compute_dtype="float32", allow_random=False):
         self.perceptual_crit = PerceptualLoss(perc_weight, vgg_weights_dir,
                                               net="caffe",
-                                              compute_dtype=compute_dtype)
+                                              compute_dtype=compute_dtype,
+                                              allow_random=allow_random)
 
     def __call__(self, data_dict):
         fake_rgb = strip_time(data_dict["fake_rgbs"])

@@ -199,16 +199,16 @@ class FFHQFaceCropper(FaceCropper):
 
 def make_face_detector(weights_dir):
     """S3FD backend if converted weights exist, else None."""
-    import os
-    path = os.path.join(str(weights_dir or ""), "s3fd.npz")
-    if not (weights_dir and os.path.exists(path)):
+    from latentpose_tpu.utils.weights import (find_weights_file,
+                                              load_flat_npz_variables)
+    path = find_weights_file("s3fd.npz", weights_dir)
+    if path is None:
         return None
     import jax.numpy as jnp
-    from latentpose_tpu.losses.common.perceptual_loss import _load_npz_params
     from latentpose_tpu.preprocess.s3fd import (S3FD, decode_detections,
                                                 nms)
     model = S3FD()
-    variables = _load_npz_params(path)
+    variables = load_flat_npz_variables(path)
 
     def detect(image_rgb_uint8):
         x = image_rgb_uint8.astype(np.float32) \

@@ -55,12 +55,11 @@ class GraphonomyBackend:
 
     def __init__(self, weights_path):
         import jax
-        from latentpose_tpu.losses.common.perceptual_loss import \
-            _load_npz_params
+        from latentpose_tpu.utils.weights import load_flat_npz_variables
         from latentpose_tpu.preprocess.graphonomy import (Graphonomy,
                                                           person_mask)
         self.model = Graphonomy()
-        self.variables = _load_npz_params(weights_path)
+        self.variables = load_flat_npz_variables(weights_path)
 
         @jax.jit
         def segment(images):

@@ -64,6 +64,7 @@ def test_compute_pose_identity_error_end_to_end(eval_tree):
         "--num_frames", str(NUM_FRAMES),
         "--image_size", str(SIZE),
         "--eval_weights_dir", "",  # proxy backends
+        "--allow_proxy_eval",
     ])
     assert np.isfinite(out["identity_error"])
     assert np.isfinite(out["pose_reconstruction_error"])
@@ -92,5 +93,6 @@ def test_compute_pose_identity_error_end_to_end(eval_tree):
         "--num_frames", str(NUM_FRAMES),
         "--image_size", str(SIZE),
         "--eval_weights_dir", "",
+        "--allow_proxy_eval",
     ])
     assert out2["identity_error"] == pytest.approx(out["identity_error"])

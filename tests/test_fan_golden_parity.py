@@ -116,7 +116,6 @@ class TorchFAN(tnn.Module):
 def test_fan_conversion_numeric_parity():
     from convert_torch_weights import convert_fan
     from latentpose_tpu.eval.fan import FAN
-    from latentpose_tpu.losses.common.perceptual_loss import _load_npz_params
 
     torch.manual_seed(6)
     twin = TorchFAN(num_modules=1).eval()
@@ -126,26 +125,12 @@ def test_fan_conversion_numeric_parity():
 
     sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
     flat = convert_fan(sd)
-    # reassemble the nested tree + batch_stats from the converter's output
-    params, stats = {}, {}
-    for key, value in flat.items():
-        if key.endswith("__mean") or key.endswith("__var"):
-            path, leaf = key.rsplit("__", 1)
-            node = stats
-            parts = path.split("/")
-            for part in parts[:-1]:
-                node = node.setdefault(part, {})
-            node.setdefault(parts[-1], {})[leaf] = value
-        else:
-            parts = key.split("/")
-            node = params
-            for part in parts[:-1]:
-                node = node.setdefault(part, {})
-            node[parts[-1]] = value
+    from latentpose_tpu.utils.weights import load_flat_npz_variables
+    variables = load_flat_npz_variables(flat)
 
     m = FAN(num_modules=1)
     outputs = m.apply(
-        {"params": params, "batch_stats": stats},
+        variables,
         jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1))), train=False)
     np.testing.assert_allclose(
         np.asarray(outputs[-1]), np.transpose(expected, (0, 2, 3, 1)),

@@ -33,7 +33,8 @@ def flagship_args():
         lr_dis=1e-3, beta1=0.0, average_function="sum", finetune=False,
         gan_type="gan", fm_weight=10.0, dice_weight=1.0,
         idt_embed_weight=2e-3, perc_weight=1e-2, dis_embed_weight=1e-2,
-        l1_weight=30.0, vgg_weights_dir="", compute_dtype="float32",
+        l1_weight=30.0, vgg_weights_dir="", allow_random_vgg=True,
+        compute_dtype="float32",
         embed_padding="zero", embed_num_blocks=3,
         gen_num_downsample_blocks=2, simple_embedder_width=8,
         X2Face_num_identity_images=1)

@@ -48,6 +48,9 @@ def main(argv=None):
     parser.add_argument("a")
     parser.add_argument("b")
     parser.add_argument("--vgg_weights_dir", default="data/weights")
+    parser.add_argument("--allow_random_vgg", action="store_true",
+                        help="Permit a random perceptual tower (distance "
+                             "still valid as a metric, not LPIPS-parity)")
     parser.add_argument("--batch", type=int, default=16)
     args = parser.parse_args(argv)
 
@@ -62,7 +65,7 @@ def main(argv=None):
     import jax.numpy as jnp
     from latentpose_tpu.losses.common.perceptual_loss import PerceptualLoss
     perc = PerceptualLoss(weight=1.0, vgg_weights_dir=args.vgg_weights_dir,
-                          net="caffe")
+                          net="caffe", allow_random=args.allow_random_vgg)
 
     l1s, psnrs, percs = [], [], []
     for start in range(0, n, args.batch):

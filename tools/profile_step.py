@@ -32,6 +32,7 @@ def flagship_args(**over):
         iteration=0, set_eval_mode_in_train=False, batch_size=8,
         random_seed=0, gan_type="gan", fm_weight=10.0, dice_weight=1.0,
         perc_weight=3e-2, idt_embed_weight=0.6e-2, vgg_weights_dir="",
+        allow_random_vgg=True,  # profiling measures FLOPs, not fidelity
         use_pixelwise_augs=True, use_affine_scale=True,
         use_affine_shift=True, compute_dtype="bfloat16")
     for k, v in over.items():
