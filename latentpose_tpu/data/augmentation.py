@@ -60,7 +60,7 @@ def gaussian_blur(key, images, max_sigma=1.0):
     blurred = blur1d(blur1d(images, 1), 2)
     alpha = jax.random.uniform(k_alpha, (images.shape[0], 1, 1, 1))
     out = images + (blurred - images) * alpha
-    return _blend(_bernoulli(k_apply, images.shape[0], 0.5), out, images)
+    return _blend(_bernoulli(k_apply, images.shape[0], _OP_P), out, images)
 
 
 def sharpen(key, images):
@@ -74,7 +74,7 @@ def sharpen(key, images):
     sharp = images * light + (images - mean3) * 1.0
     alpha = jax.random.uniform(k_alpha, (b, 1, 1, 1))
     out = images * (1 - alpha) + sharp * alpha
-    return _blend(_bernoulli(k_apply, b, 0.5), jnp.clip(out, 0, 1), images)
+    return _blend(_bernoulli(k_apply, b, _OP_P), jnp.clip(out, 0, 1), images)
 
 
 def additive_noise(key, images, max_scale=0.05):
@@ -82,7 +82,7 @@ def additive_noise(key, images, max_scale=0.05):
     b = images.shape[0]
     scale = jax.random.uniform(k_scale, (b, 1, 1, 1)) * max_scale
     noise = jax.random.normal(k_noise, images.shape) * scale
-    return _blend(_bernoulli(k_apply, b, 0.5),
+    return _blend(_bernoulli(k_apply, b, _OP_P),
                   jnp.clip(images + noise, 0, 1), images)
 
 
@@ -91,7 +91,7 @@ def brightness(key, images, max_add=10.0 / 255.0):
     b = images.shape[0]
     add = jax.random.uniform(k_add, (b, 1, 1, 1), minval=-max_add,
                              maxval=max_add)
-    return _blend(_bernoulli(k_apply, b, 0.5),
+    return _blend(_bernoulli(k_apply, b, _OP_P),
                   jnp.clip(images + add, 0, 1), images)
 
 
@@ -99,7 +99,7 @@ def multiply(key, images, low=0.5, high=1.5):
     k_apply, k_mul = jax.random.split(key)
     b = images.shape[0]
     mul = jax.random.uniform(k_mul, (b, 1, 1, 1), minval=low, maxval=high)
-    return _blend(_bernoulli(k_apply, b, 0.5),
+    return _blend(_bernoulli(k_apply, b, _OP_P),
                   jnp.clip(images * mul, 0, 1), images)
 
 
@@ -108,7 +108,7 @@ def contrast(key, images, low=0.75, high=1.25):
     b = images.shape[0]
     c = jax.random.uniform(k_c, (b, 1, 1, 1), minval=low, maxval=high)
     out = (images - 0.5) * c + 0.5
-    return _blend(_bernoulli(k_apply, b, 0.5), jnp.clip(out, 0, 1), images)
+    return _blend(_bernoulli(k_apply, b, _OP_P), jnp.clip(out, 0, 1), images)
 
 
 def saturation(key, images, max_shift=20.0 / 255.0):
@@ -118,11 +118,152 @@ def saturation(key, images, max_shift=20.0 / 255.0):
     s = 1.0 + jax.random.uniform(k_s, (b, 1, 1, 1), minval=-max_shift,
                                  maxval=max_shift) * 5.0
     out = gray + (images - gray) * s
-    return _blend(_bernoulli(k_apply, b, 0.5), jnp.clip(out, 0, 1), images)
+    return _blend(_bernoulli(k_apply, b, _OP_P), jnp.clip(out, 0, 1), images)
 
 
-PIXELWISE_OPS = (gaussian_blur, sharpen, additive_noise, brightness,
-                 multiply, contrast, saturation)
+def emboss(key, images, max_strength=0.5):
+    """iaa.Emboss(alpha=(0, 1.0), strength=(0, 0.5)): 3x3 emboss kernel
+    alpha-blended with identity, per sample (reference ``:57``)."""
+    k_apply, k_alpha, k_s = jax.random.split(key, 3)
+    b = images.shape[0]
+    alpha = jax.random.uniform(k_alpha, (b, 1, 1, 1))
+    s = jax.random.uniform(k_s, (b, 1, 1, 1)) * max_strength
+
+    # effect kernel rows: [[-1-s, -s, 0], [-s, 1, s], [0, s, 1+s]]
+    zeros = jnp.zeros_like(s)
+    w = [[-1.0 - s, -s, zeros],
+         [-s, jnp.ones_like(s), s],
+         [zeros, s, 1.0 + s]]
+    xp = jnp.pad(images, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    h, wd = images.shape[1:3]
+    effect = 0.0
+    for dy in range(3):
+        for dx in range(3):
+            effect = effect + w[dy][dx] * xp[:, dy:dy + h, dx:dx + wd, :]
+    out = images + (effect - images) * alpha
+    return _blend(_bernoulli(k_apply, b, _OP_P), jnp.clip(out, 0, 1), images)
+
+
+_JPEG_LUMA_Q = jnp.asarray([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], jnp.float32)
+_JPEG_CHROMA_Q = jnp.asarray([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], jnp.float32)
+
+
+def _dct8():
+    k = jnp.arange(8, dtype=jnp.float32)
+    m = jnp.sqrt(2.0 / 8.0) * jnp.cos(
+        jnp.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / 16.0)
+    return m.at[0].multiply(1.0 / jnp.sqrt(2.0))
+
+
+def _jpeg_quantize_plane(plane, table):
+    """plane: (B, H, W) in [0, 255]; table: (B, 1, 1, 8, 8).  Real JPEG
+    math: 8x8 DCT-II -> quantize -> dequantize -> IDCT (two matmuls each —
+    MXU work, not gathers)."""
+    b, h, w = plane.shape
+    m = _dct8()
+    blocks = plane.reshape(b, h // 8, 8, w // 8, 8).transpose(0, 1, 3, 2, 4)
+    coef = jnp.einsum("ij,bhwjk,lk->bhwil", m, blocks - 128.0, m)
+    coef = jnp.round(coef / table) * table
+    rec = jnp.einsum("ji,bhwjk,kl->bhwil", m, coef, m) + 128.0
+    return rec.transpose(0, 1, 3, 2, 4).reshape(b, h, w)
+
+
+def jpeg_roundtrip(images, quality):
+    """Deterministic JPEG encode/decode simulation: YCbCr + 8x8 DCT
+    quantization (+ 4:2:0 chroma subsampling when the size allows).
+    images: (B, H, W, 3) in [0, 1]; quality: (B,) in [1, 100]."""
+    b, h, w, _ = images.shape
+    quality = jnp.asarray(quality, jnp.float32).reshape(b, 1, 1)
+    scale = jnp.where(quality < 50.0, 5000.0 / quality,
+                      200.0 - 2.0 * quality)  # libjpeg quality mapping
+
+    def table(base):
+        t = jnp.floor((base * scale[..., None, None] + 50.0) / 100.0)
+        return jnp.clip(t, 1.0, 255.0)
+
+    x = images * 255.0
+    r, g, bl = x[..., 0], x[..., 1], x[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * bl
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0
+
+    y = _jpeg_quantize_plane(y, table(_JPEG_LUMA_Q))
+    if h % 16 == 0 and w % 16 == 0:  # 4:2:0: chroma at half resolution
+        def sub(c):
+            return c.reshape(b, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+
+        def up(c):
+            return jnp.repeat(jnp.repeat(c, 2, axis=1), 2, axis=2)
+
+        cb = up(_jpeg_quantize_plane(sub(cb), table(_JPEG_CHROMA_Q)))
+        cr = up(_jpeg_quantize_plane(sub(cr), table(_JPEG_CHROMA_Q)))
+    else:
+        cb = _jpeg_quantize_plane(cb, table(_JPEG_CHROMA_Q))
+        cr = _jpeg_quantize_plane(cr, table(_JPEG_CHROMA_Q))
+
+    cb = cb - 128.0
+    cr = cr - 128.0
+    out = jnp.stack([y + 1.402 * cr,
+                     y - 0.344136 * cb - 0.714136 * cr,
+                     y + 1.772 * cb], axis=-1) / 255.0
+    return jnp.clip(out, 0, 1)
+
+
+def jpeg_artifacts(key, images):
+    """iaa.JpegCompression((70, 99)) (reference ``:68``): true DCT
+    quantization per sample with quality ~ U(70, 99)."""
+    k_apply, k_q = jax.random.split(key)
+    b, h, w, _ = images.shape
+    if h % 8 or w % 8:
+        return images  # non-8-aligned sizes: skip (flagship is 256²)
+    quality = jax.random.uniform(k_q, (b,), minval=70.0, maxval=99.0)
+    out = jpeg_roundtrip(images, quality)
+    return _blend(_bernoulli(k_apply, b, _OP_P), out, images)
+
+
+def elastic(key, images, alpha_range=(0.5, 3.5)):
+    """sometimes(iaa.ElasticTransformation(alpha=(0.5, 3.5), sigma=0.15))
+    (reference ``:76``): per-pixel displacement field ~ U(-1,1) * alpha
+    pixels.  sigma=0.15 makes imgaug's gaussian smoothing of the field a
+    near-identity, so the raw field is used.  `sometimes` halves the
+    application probability on top of the pool coin."""
+    k_apply, k_alpha, k_d = jax.random.split(key, 3)
+    b, h, w, _ = images.shape
+    alpha = jax.random.uniform(k_alpha, (b, 1, 1),
+                               minval=alpha_range[0], maxval=alpha_range[1])
+    disp = jax.random.uniform(k_d, (b, h, w, 2), minval=-1.0, maxval=1.0)
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    grid_x = gx[None] + disp[..., 0] * alpha * 2.0 / w
+    grid_y = gy[None] + disp[..., 1] * alpha * 2.0 / h
+    out = grid_sample_bilinear(images, grid_x, grid_y)
+    return _blend(_bernoulli(k_apply, b, _OP_P * 0.5), out, images)
+
+
+# Per-op application probability.  The reference draws SomeOf(0..5) from a
+# 10-op pool (uniform count, mean 2.5 -> per-op marginal 0.25); we give each
+# op an independent 0.25 coin (binomial with the same mean/marginals).
+_OP_P = 0.25
+
+PIXELWISE_OPS = (gaussian_blur, sharpen, emboss, additive_noise, brightness,
+                 multiply, contrast, saturation, jpeg_artifacts, elastic)
 
 
 def pixelwise_augment(key, images):

@@ -135,5 +135,86 @@ def test_pixelwise_augment_stays_in_range():
     out = pixelwise_augment(key, imgs)
     assert out.shape == imgs.shape
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
-    # with 7 ops at p=0.5 each, some sample must have changed
+    # with 10 ops at p=0.25 each, some sample must have changed
     assert float(np.abs(np.asarray(out) - np.asarray(imgs)).max()) > 1e-4
+
+
+def test_emboss_shapes_range_and_determinism():
+    import jax
+    from latentpose_tpu.data.augmentation import emboss
+    key = jax.random.PRNGKey(7)
+    imgs = jax.random.uniform(key, (16, 16, 16, 3))
+    out1 = np.asarray(emboss(key, imgs))
+    out2 = np.asarray(emboss(key, imgs))
+    np.testing.assert_array_equal(out1, out2)
+    assert out1.shape == imgs.shape
+    assert out1.min() >= 0.0 and out1.max() <= 1.0
+    # per-sample coin: some samples changed, the others bit-exact original
+    changed = np.abs(out1 - np.asarray(imgs)).reshape(16, -1).max(1) > 1e-6
+    assert changed.any() and (~changed).any()
+    np.testing.assert_array_equal(out1[~changed],
+                                  np.asarray(imgs)[~changed])
+
+
+def test_jpeg_roundtrip_matches_pil_quality_trend():
+    """Our DCT-quantization JPEG sim vs PIL's real encoder: reconstruction
+    error within the same ballpark at matched quality, and monotonically
+    worse at lower quality."""
+    import io
+
+    from PIL import Image
+
+    from latentpose_tpu.data.augmentation import jpeg_roundtrip
+
+    rng = np.random.RandomState(0)
+    # smooth-ish natural-like image (random noise is jpeg's worst case)
+    base = rng.rand(8, 8, 3)
+    img = np.kron(base, np.ones((4, 4, 1)))  # 32x32, blocky-smooth
+    from scipy.ndimage import uniform_filter
+    img = uniform_filter(img, size=(3, 3, 1)).astype(np.float32)
+
+    def pil_rt(arr, q):
+        buf = io.BytesIO()
+        Image.fromarray((arr * 255).astype(np.uint8)).save(
+            buf, "JPEG", quality=int(q))
+        return np.asarray(Image.open(buf)).astype(np.float32) / 255.0
+
+    errors = {}
+    for q in (70, 95):
+        ours = np.asarray(jpeg_roundtrip(img[None], np.array([q])))[0]
+        pil = pil_rt(img, q)
+        e_ours = np.abs(ours - img).mean()
+        e_pil = np.abs(pil - img).mean()
+        errors[q] = (e_ours, e_pil)
+        # same ballpark: within 3x of the real encoder's error
+        assert e_ours < 3 * e_pil + 2e-3, (q, e_ours, e_pil)
+        assert e_ours > e_pil / 5, (q, e_ours, e_pil)
+    assert errors[70][0] > errors[95][0]  # lower quality -> more artifacts
+
+
+def test_elastic_local_displacement():
+    import jax
+    from latentpose_tpu.data.augmentation import elastic
+    key = jax.random.PRNGKey(11)
+    # gradient image: local displacement changes values by <= alpha * slope
+    h = 32
+    ramp = np.tile(np.linspace(0, 1, h)[None, :, None, None],
+                   (32, 1, h, 3)).astype(np.float32)
+    out = np.asarray(elastic(key, jax.numpy.asarray(ramp)))
+    assert out.shape == ramp.shape
+    delta = np.abs(out - ramp)
+    # max displacement 3.5 px on a 1/h-per-px ramp
+    assert delta.max() <= 4.5 / h + 1e-3
+    changed = delta.reshape(32, -1).max(1) > 1e-6
+    assert changed.any() and (~changed).any()  # p=0.125 coin
+
+
+def test_pixelwise_pool_is_complete():
+    """Reference SomeOf pool families (augmentation.py:44-82): blur,
+    sharpen, emboss, noise, add, saturation, jpeg, multiply, contrast,
+    elastic."""
+    from latentpose_tpu.data import augmentation as aug
+    names = {f.__name__ for f in aug.PIXELWISE_OPS}
+    assert names == {"gaussian_blur", "sharpen", "emboss", "additive_noise",
+                     "brightness", "multiply", "contrast", "saturation",
+                     "jpeg_artifacts", "elastic"}
