@@ -1,12 +1,16 @@
 #!/usr/bin/env python3
-"""Headline benchmark: driven 256² frames/sec on the flagship model.
+"""Headline benchmarks on the flagship model (one real chip).
 
-Measures the inference hot path (MobileNetV2 pose encoder + AdaIN generator,
-bfloat16, batched) — the reference runs this batch-1 per frame in a Python
-loop (``drive.py:57,84-98``, no published number); the driver-provided
-north-star is >=2000 frames/s on v5e-8 (BASELINE.md), i.e. 250/s/chip.
+1. meta-train step (K=8 identity frames, batch 8, all 6 losses, 256², bf16)
+   — the reference trains this for 1.0-2.7M iterations on 2 GPUs (no
+   published time); ``vs_baseline`` is speedup vs our round-1 measurement
+   (149 ms/step, STATUS r1) so regressions are visible round-over-round.
+2. driven 256² frames/sec (MobileNetV2 pose encoder + AdaIN generator,
+   bfloat16, batched) — the reference runs this batch-1 per frame in a
+   Python loop (``drive.py:57,84-98``); the driver-provided north-star is
+   >=2000 frames/s on v5e-8 (BASELINE.md), i.e. 250/s/chip.
 
-Prints ONE JSON line:
+Prints one JSON line per metric; the LAST line is the headline:
   {"metric": "drive_fps_256", "value": N, "unit": "frames/s",
    "vs_baseline": N / <per-chip share of the 2000 fps target>}
 """
@@ -19,6 +23,86 @@ import time
 import types
 
 import numpy as np
+
+
+R1_TRAIN_STEP_MS = 149.0  # round-1 measured baseline (STATUS r1)
+
+
+def bench_train_step():
+    """Full meta-train step: both optimizers, EMA, spectral state, 6 losses,
+    K=8 identity frames at 256², global batch 8, bf16 compute."""
+    import jax
+    import types
+
+    import numpy as np
+
+    from latentpose_tpu.losses import (adversarial, dice, dis_embed,
+                                       featmat, idt_embed, perceptual)
+    from latentpose_tpu.models.discriminators import no_landmarks as dis_mod
+    from latentpose_tpu.models.embedders import (
+        unsupervised_pose_separate_embResNeXt_segmentation as emb_mod)
+    from latentpose_tpu.models.generators import (
+        vector_pose_unsupervised_segmentation_noBottleneck as gen_mod)
+    from latentpose_tpu.runners import build, holycow
+
+    batch, k_frames = 8, 8
+    args = types.SimpleNamespace(
+        image_size=256, in_channels=3, out_channels=3, num_channels=64,
+        max_num_channels=512, embed_channels=512, pose_embedding_size=256,
+        gen_padding="zero", gen_constant_input_size=4,
+        gen_num_residual_blocks=2, norm_layer="in", dis_padding="zero",
+        dis_num_blocks=7, num_labels=1000, optimizer="Adam", lr_gen=5e-5,
+        lr_dis=2e-4, beta1=0.0, average_function="sum", finetune=False,
+        iteration=0, set_eval_mode_in_train=False, batch_size=batch,
+        random_seed=0, gan_type="gan", fm_weight=10.0, dice_weight=1.0,
+        perc_weight=3e-2, idt_embed_weight=0.6e-2, dis_embed_weight=1e-2,
+        vgg_weights_dir="", allow_random_vgg=True,
+        compute_dtype="bfloat16")
+
+    models = {"embedder": emb_mod.Wrapper.get_net(args),
+              "generator": gen_mod.Wrapper.get_net(args),
+              "discriminator": dis_mod.Wrapper.get_net(args)}
+    criteria = [idt_embed.Wrapper.get_net(args),
+                perceptual.Wrapper.get_net(args),
+                adversarial.Criterion(args.gan_type),
+                featmat.Criterion(args.fm_weight),
+                dis_embed.Criterion(args.dis_embed_weight),
+                dice.Criterion(args.dice_weight)]
+    opt_g, opt_d = build.build_optimizers(args, {"discriminators": dis_mod})
+    rng = jax.random.PRNGKey(0)
+    state = build.init_train_state(args, models, opt_g, opt_d, rng)
+    step_fn = holycow.make_train_step(models, criteria, args, opt_g, opt_d,
+                                      donate=True)
+
+    rnd = np.random.RandomState(0)
+    batch_data = {
+        "enc_rgbs": rnd.rand(batch, k_frames, 256, 256,
+                             3).astype(np.float32),
+        "pose_input_rgbs": rnd.rand(batch, 1, 256, 256,
+                                    3).astype(np.float32),
+        "target_rgbs": rnd.rand(batch, 1, 256, 256, 3).astype(np.float32),
+        "real_segm": rnd.rand(batch, 1, 256, 256, 1).astype(np.float32),
+        "label": (np.arange(batch) % args.num_labels).astype(np.int32),
+    }
+    batch_data = jax.device_put(batch_data)
+
+    state, _ = step_fn(state, batch_data, rng)  # compile
+    jax.block_until_ready(state.params)
+
+    n_iters = 10
+    start = time.perf_counter()
+    for i in range(n_iters):
+        state, _ = step_fn(state, batch_data, jax.random.fold_in(rng, i))
+    jax.block_until_ready(state.params)
+    ms = (time.perf_counter() - start) / n_iters * 1e3
+    print(json.dumps({
+        "metric": "train_step_ms_256",
+        "value": round(ms, 1),
+        "unit": "ms/step",
+        "vs_baseline": round(R1_TRAIN_STEP_MS / ms, 3),
+    }))
+    sys.stdout.flush()
+    return ms
 
 
 def main():
@@ -98,4 +182,8 @@ def main():
 
 
 if __name__ == "__main__":
+    try:
+        bench_train_step()
+    except Exception as exc:  # train bench must never mask the headline
+        print(f"train_step bench failed: {exc}", file=sys.stderr)
     sys.exit(0 if main() > 0 else 1)

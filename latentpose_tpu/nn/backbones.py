@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from latentpose_tpu.ops import initializers as tinit
+from latentpose_tpu.ops.grouped_conv import GroupedConv
 
 # torch kaiming_normal_(mode='fan_out', nonlinearity='relu')
 _conv_init = nn.initializers.variance_scaling(2.0, "fan_out",
@@ -52,10 +53,13 @@ class Bottleneck(nn.Module):
                     dtype=dt, name="conv1")(x)
         h = _bn(train, "bn1", dt)(h)
         h = nn.relu(h)
-        h = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, feature_group_count=self.groups,
-                    use_bias=False, kernel_init=_conv_init, dtype=dt,
-                    name="conv2")(h)
+        # MXU-efficient grouped conv (block-diagonal dense for small
+        # channels-per-group — 4-8x faster than native grouped, see
+        # ops/grouped_conv.py); parameter layout identical to nn.Conv's
+        h = GroupedConv(width, (3, 3), strides=(self.stride, self.stride),
+                        padding=1, groups=self.groups, use_bias=False,
+                        kernel_init=_conv_init, dtype=dt,
+                        name="conv2")(h)
         h = _bn(train, "bn2", dt)(h)
         h = nn.relu(h)
         h = nn.Conv(out_features, (1, 1), use_bias=False,

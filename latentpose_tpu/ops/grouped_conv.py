@@ -1,0 +1,92 @@
+"""MXU-efficient grouped convolution.
+
+ResNeXt-50's 32-group 3x3 convs have 4-16 channels per group; XLA:TPU lowers
+``feature_group_count`` convolutions to per-group contractions whose output
+dimension (Cg <= 16) starves the 128-lane MXU.  Measured on a v5e chip
+(tools/bench_grouped_conv.py, chained-in-jit timing, bf16, B=8):
+
+    stage  shape           native grouped   block-diagonal dense
+    1      64^2 x128 Cg=4     0.970 ms          0.123 ms   (7.9x)
+    2      32^2 x256 Cg=8     0.573 ms          0.116 ms   (4.9x)
+    3      16^2 x512 Cg=16    0.173 ms          0.116 ms   (1.5x)
+    4       8^2 x1024 Cg=32   0.090 ms          0.122 ms   (0.74x)
+
+The block-diagonal form runs ONE dense conv whose kernel is the grouped
+kernel scattered onto the block diagonal: G x the FLOPs, but those FLOPs are
+free — the MXU was padding the tiny per-group matmuls to 128 lanes anyway.
+Exact same math (off-diagonal zeros), exact same parameter layout
+(3, 3, Cg, C_out grouped-HWIO), so checkpoints and torchvision weight
+conversion are unaffected.  Native grouped conv is kept for Cg >= 32 where
+it wins.  (Reference counterpart: torch's cuDNN grouped conv inside
+``torchvision resnext50_32x4d`` — ``embedders/…_segmentation.py:27``.)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from jax import lax
+import flax.linen as nn
+
+# measured crossover: block-diagonal wins below 32 channels/group
+BLOCKDIAG_MAX_CHANNELS_PER_GROUP = 16
+
+
+def expand_blockdiag_kernel(kernel, groups):
+    """Grouped-HWIO kernel (kh, kw, Cg, C_out) -> dense (kh, kw, C_in, C_out)
+    with the per-group blocks on the diagonal (zeros elsewhere)."""
+    kh, kw, cg, c_out = kernel.shape
+    co = c_out // groups
+    wk = kernel.reshape(kh, kw, cg, groups, co)
+    eye = jnp.eye(groups, dtype=kernel.dtype)
+    # dense[h, w, g_in, c, g_out, o] = wk[h, w, c, g_out, o] * eye[g_in, g_out]
+    dense = wk[:, :, None, :, :, :] * eye[None, None, :, None, :, None]
+    return dense.reshape(kh, kw, groups * cg, c_out)
+
+
+class GroupedConv(nn.Module):
+    """Drop-in for ``nn.Conv(..., feature_group_count=groups)`` (3x3-style,
+    no bias) that picks the faster TPU formulation per channels-per-group.
+
+    Parameter tree is identical to nn.Conv's: ``{kernel: (kh, kw, Cg, C)}``.
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: Any = 1
+    groups: int = 32
+    use_bias: bool = False
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        cg = x.shape[-1] // self.groups
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (*self.kernel_size, cg, self.features))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+        kernel = kernel.astype(dt)
+
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad)] * len(self.kernel_size)
+        dn = lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        if cg <= BLOCKDIAG_MAX_CHANNELS_PER_GROUP and self.groups > 1:
+            dense = expand_blockdiag_kernel(kernel, self.groups)
+            y = lax.conv_general_dilated(x, dense, self.strides, pad,
+                                         dimension_numbers=dn)
+        else:
+            y = lax.conv_general_dilated(x, kernel, self.strides, pad,
+                                         dimension_numbers=dn,
+                                         feature_group_count=self.groups)
+        if self.use_bias:
+            y = y + bias.astype(dt)
+        return y
