@@ -68,12 +68,103 @@ def load_driver_frames(path, image_size):
     return np.stack(frames)
 
 
+def load_raw_frames(path):
+    """Load a driver sequence at ORIGINAL resolution.
+
+    Returns (frames, ids): uint8 RGB arrays and per-frame integer ids
+    (image stem when numeric — the bbox-dict key contract of the dataset —
+    else the positional index)."""
+    import cv2
+    path = Path(path)
+    frames, ids = [], []
+    if path.is_dir():
+        files = sorted(p for p in path.iterdir()
+                       if p.suffix.lower() in (".jpg", ".jpeg", ".png",
+                                               ".bmp"))
+        for idx, p in enumerate(files):
+            img = cv2.imread(str(p))
+            if img is None:
+                raise FileNotFoundError(f"Unreadable image {p}")
+            frames.append(img[..., ::-1])
+            ids.append(int(p.stem) if p.stem.isdigit() else idx)
+    else:
+        cap = cv2.VideoCapture(str(path))
+        while True:
+            ok, img = cap.read()
+            if not ok:
+                break
+            ids.append(len(frames))
+            frames.append(img[..., ::-1])
+        cap.release()
+    if not frames:
+        raise FileNotFoundError(f"No frames found in {path}")
+    return frames, ids
+
+
+def inline_crop_frames(path, args):
+    """Crop raw driver footage inline, exactly as the inference dataloader
+    does (reference ``drive.py:73-98`` drives through its dataset's bbox-npy
+    crop): per-frame bbox (precomputed ``--bboxes_dir`` .npy dict, or S3FD
+    detection when converted weights exist) -> square x1.8 -> blur-fade
+    padded crop -> resize to ``--image_size``.  Returns (N, S, S, 3) f32."""
+    import cv2
+
+    from latentpose_tpu.data.common import crop as crop_lib
+
+    frames, frame_ids = load_raw_frames(path)
+
+    bboxes = {}
+    try:
+        bboxes = np.load(str(args.bboxes_dir), allow_pickle=True).item()
+    except (FileNotFoundError, OSError, ValueError):
+        pass
+    identity, sequence = (["", ""] + str(path).rstrip("/").split("/"))[-2:]
+
+    detector = None
+    if not bboxes:
+        from latentpose_tpu.preprocess.croppers import make_face_detector
+        detector = make_face_detector(None)  # env / <repo>/weights discovery
+        if detector is None:
+            raise RuntimeError(
+                "--crop needs per-frame bboxes: provide --bboxes_dir "
+                "(precomputed .npy dict, the dataset contract) or converted "
+                "S3FD weights (see WEIGHTS.md). Alternatively pre-crop with "
+                "cli/crop_as_in_dataset.py and drive without --crop.")
+
+    out = []
+    size = args.image_size
+    for idx, img in zip(frame_ids, frames):
+        h, w = img.shape[:2]
+        try:
+            raw = bboxes[identity][sequence][idx]
+            l, t, r, b = (np.asarray(raw, np.float32) / 256.0).tolist()
+        except (KeyError, ValueError, IndexError):
+            if detector is not None:
+                from latentpose_tpu.preprocess.croppers import \
+                    choose_one_detection
+                lp, tp, rp, bp = choose_one_detection(detector(img))[:4]
+                l, t, r, b = lp / w, tp / h, rp / w, bp / h
+            else:
+                l, t, r, b = 0.0, 0.0, 1.0, 1.0  # assume pre-cropped frame
+        if (l, t, r, b) != (0.0, 0.0, 1.0, 1.0):
+            l, t, r, b = crop_lib.square_and_scale_bbox(l, t, r, b)
+            ti, li, bi, ri = crop_lib.bbox_to_integer_coords(t, l, b, r, h, w)
+            img = crop_lib.crop_with_padding(img, ti, li, bi, ri)
+        interp = cv2.INTER_CUBIC if size > img.shape[0] else cv2.INTER_AREA
+        img = cv2.resize(img, (size, size), interpolation=interp)
+        out.append(img.astype(np.float32) / 255.0)
+    return np.stack(out)
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     parser = build_core_parser()
     parser.add("--images_paths", type=str, nargs="+", default=[])
     parser.add("--destination", type=str, default="driving_results")
     parser.add("--drive_batch_size", type=int, default=32)
+    # Inline cropping of raw footage (reference drive.py crops through its
+    # inference dataloader; we expose it as an explicit flag)
+    parser.add("--crop", action="store_bool", default=False)
 
     # Reference CLI: ``drive.py CHECKPOINT [DATA_ROOT] --images_paths ...``;
     # rewrite positionals to flags *before* resolution so the saved
@@ -137,7 +228,10 @@ def main(argv=None):
             candidate = Path(args.data_root) / args.img_dir / images_path
             if candidate.exists():
                 resolved = candidate
-        frames = load_driver_frames(resolved, args.image_size)
+        if args.crop and not str(resolved).startswith("synthetic"):
+            frames = inline_crop_frames(resolved, args)
+        else:
+            frames = load_driver_frames(resolved, args.image_size)
         outputs = drive_lib.drive_sequence(
             drive_fn, state, frames, batch_size=args.drive_batch_size,
             mesh=mesh)
