@@ -79,32 +79,43 @@ class XceptionBlock(nn.Module):
 
 
 class Xception65(nn.Module):
-    """Modified aligned Xception backbone (output stride 16)."""
+    """Modified aligned Xception backbone (output stride 16).
+
+    Widths/depth are parametrizable so the golden-parity torch twin can run
+    at test scale; defaults are the real Xception-65."""
+
+    stem_widths: Sequence[int] = (32, 64)
+    entry_widths: Sequence[int] = (128, 256, 728)
+    middle_blocks: int = 16
+    exit_widths: Sequence[int] = (728, 1024, 1536, 1536, 2048)
 
     @nn.compact
     def __call__(self, x, train=False):
-        h = nn.Conv(32, (3, 3), strides=(2, 2), padding=1, use_bias=False,
-                    name="conv1")(x)
+        h = nn.Conv(self.stem_widths[0], (3, 3), strides=(2, 2), padding=1,
+                    use_bias=False, name="conv1")(x)
         h = _bn(train, "bn1")(h)
         h = nn.relu(h)
-        h = nn.Conv(64, (3, 3), padding=1, use_bias=False, name="conv2")(h)
+        h = nn.Conv(self.stem_widths[1], (3, 3), padding=1, use_bias=False,
+                    name="conv2")(h)
         h = _bn(train, "bn2")(h)
         h = nn.relu(h)
 
-        h = XceptionBlock((128, 128, 128), stride=2, name="block1")(h, train)
+        e1, e2, e3 = self.entry_widths
+        h = XceptionBlock((e1, e1, e1), stride=2, name="block1")(h, train)
         low_level = h  # stride 4 features for the decoder
-        h = XceptionBlock((256, 256, 256), stride=2, name="block2")(h, train)
-        h = XceptionBlock((728, 728, 728), stride=2, name="block3")(h, train)
-        for i in range(16):  # middle flow
-            h = XceptionBlock((728, 728, 728), skip_type="sum",
+        h = XceptionBlock((e2, e2, e2), stride=2, name="block2")(h, train)
+        h = XceptionBlock((e3, e3, e3), stride=2, name="block3")(h, train)
+        for i in range(self.middle_blocks):  # middle flow
+            h = XceptionBlock((e3, e3, e3), skip_type="sum",
                               name=f"mid{i}")(h, train)
-        h = XceptionBlock((728, 1024, 1024), stride=1, dilation=1,
+        x1, x2, x3, x4, x5 = self.exit_widths
+        h = XceptionBlock((x1, x2, x2), stride=1, dilation=1,
                           name="exit1")(h, train)
-        h = nn.relu(SeparableConv(1536, dilation=2,
+        h = nn.relu(SeparableConv(x3, dilation=2,
                                   name="exit_sep1")(h, train))
-        h = nn.relu(SeparableConv(1536, dilation=2,
+        h = nn.relu(SeparableConv(x4, dilation=2,
                                   name="exit_sep2")(h, train))
-        h = nn.relu(SeparableConv(2048, dilation=2,
+        h = nn.relu(SeparableConv(x5, dilation=2,
                                   name="exit_sep3")(h, train))
         return h, low_level
 
@@ -174,6 +185,8 @@ class Graphonomy(nn.Module):
     """DeepLabV3+ + graph reasoning; returns (B, H, W, num_classes) probs."""
 
     num_classes: int = CIHP_NUM_CLASSES
+    backbone_cfg: dict = None
+    aspp_features: int = 256
 
     @nn.compact
     def __call__(self, images, train=False):
@@ -182,8 +195,9 @@ class Graphonomy(nn.Module):
         std = jnp.array([0.229, 0.224, 0.225])
         x = (images - mean) / std
 
-        feats, low_level = Xception65(name="backbone")(x, train)
-        h = ASPP(name="aspp")(feats, train)
+        feats, low_level = Xception65(
+            name="backbone", **(self.backbone_cfg or {}))(x, train)
+        h = ASPP(self.aspp_features, name="aspp")(feats, train)
 
         # decoder: upsample to the low-level stride, concat, refine
         h = jax.image.resize(h, low_level.shape[:3] + (h.shape[-1],),

@@ -375,6 +375,109 @@ def convert_fan(sd):
 
 
 # --------------------------------------------------------------------------
+# S3FD (face-alignment s3fd-619a316812.pth naming -> preprocess/s3fd.py)
+# --------------------------------------------------------------------------
+
+# (their mbox head prefix, our cls/reg index)
+_S3FD_HEADS = (("conv3_3_norm", 0), ("conv4_3_norm", 1), ("conv5_3_norm", 2),
+               ("fc7", 3), ("conv6_2", 4), ("conv7_2", 5))
+_S3FD_L2NORMS = (("conv3_3_norm", "l2norm3"), ("conv4_3_norm", "l2norm4"),
+                 ("conv5_3_norm", "l2norm5"))
+
+
+def convert_s3fd(sd):
+    """face-alignment S3FD state dict -> our preprocess/s3fd.py tree
+    (reference consumes it via ``utils/crop_as_in_dataset.py:21-22``)."""
+    flat = {}
+
+    def put_conv(ours, theirs):
+        flat[f"{ours}/kernel"] = conv_kernel(sd[theirs + ".weight"])
+        flat[f"{ours}/bias"] = sd[theirs + ".bias"]
+
+    for stage, reps in enumerate((2, 2, 3, 3, 3), start=1):
+        for i in range(1, reps + 1):
+            put_conv(f"conv{stage}_{i}", f"conv{stage}_{i}")
+    for name in ("fc6", "fc7", "conv6_1", "conv6_2", "conv7_1", "conv7_2"):
+        put_conv(name, name)
+    for theirs, ours in _S3FD_L2NORMS:
+        flat[f"{ours}/scale"] = sd[theirs + ".weight"]
+    for prefix, idx in _S3FD_HEADS:
+        put_conv(f"cls{idx}", f"{prefix}_mbox_conf")
+        put_conv(f"reg{idx}", f"{prefix}_mbox_loc")
+    return flat
+
+
+# --------------------------------------------------------------------------
+# Generic structural converter: torch modules whose dotted paths mirror the
+# flax tree (used for Graphonomy / X2Face / FAbNet — external nets the
+# reference consumes as frozen dependencies)
+# --------------------------------------------------------------------------
+
+def convert_generic(sd, rename=None):
+    """torch state dict -> flat npz keys ('params/...', 'batch_stats/...').
+
+    Assumes module paths mirror the flax tree (the torch twins in tests/ are
+    built that way; real release files with different naming pass a
+    ``rename`` callable first).  Rules:
+    - ``*.weight`` 4D -> ``kernel`` OIHW->HWIO (covers depthwise: (C,1,k,k)
+      -> (k,k,1,C), flax's feature_group_count layout);
+    - ``*.weight`` 2D -> ``kernel`` transposed (torch Linear);
+    - ``*.weight`` 1D with running stats sibling -> BatchNorm ``scale`` (+
+      mean/var into batch_stats); without -> PReLU ``alpha``;
+    - ``*.bias`` -> ``bias``; num_batches_tracked dropped;
+    - parameters with any other leaf name pass through untouched (e.g. a
+      learned ``adjacency`` matrix).
+    """
+    flat = {}
+    for key, value in sd.items():
+        if rename is not None:
+            key = rename(key)
+            if key is None:
+                continue
+        value = np.asarray(value)
+        parts = key.split(".")
+        prefix, leaf = ".".join(parts[:-1]), parts[-1]
+        path = "/".join(parts[:-1])
+        if leaf == "num_batches_tracked":
+            continue
+        if leaf == "running_mean":
+            flat[f"batch_stats/{path}/mean"] = value
+        elif leaf == "running_var":
+            flat[f"batch_stats/{path}/var"] = value
+        elif leaf == "weight":
+            if value.ndim == 4:
+                flat[f"params/{path}/kernel"] = conv_kernel(value)
+            elif value.ndim == 2:
+                flat[f"params/{path}/kernel"] = dense_kernel(value)
+            elif prefix + ".running_mean" in sd:
+                flat[f"params/{path}/scale"] = value
+            else:
+                flat[f"params/{path}/alpha"] = value
+        elif leaf == "bias":
+            flat[f"params/{path}/bias"] = value
+        else:
+            flat[f"params/{path}/{leaf}"] = value
+    return flat
+
+
+def convert_graphonomy(sd):
+    """Graphonomy universal parser -> preprocess/graphonomy.py tree (see
+    the torch twin in tests/test_graphonomy_golden_parity.py; release files
+    need a rename pass documented in WEIGHTS.md)."""
+    return convert_generic(sd)
+
+
+def convert_x2face(sd):
+    """X2Face release model -> models/generators/X2Face.py tree."""
+    return convert_generic(sd)
+
+
+def convert_fabnet(sd):
+    """FAb-Net release encoder -> FAbNet_pretrained embedder pose net."""
+    return convert_generic(sd)
+
+
+# --------------------------------------------------------------------------
 # Full reference checkpoint -> our .ckpt
 # --------------------------------------------------------------------------
 
@@ -441,6 +544,7 @@ def convert_reference_checkpoint(in_path, out_dir):
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("kind", choices=["vgg19", "vggface", "fan", "s3fd",
+                                         "graphonomy", "x2face", "fabnet",
                                          "checkpoint"])
     parser.add_argument("input")
     parser.add_argument("output_dir")
@@ -460,9 +564,13 @@ def main(argv=None):
     elif args.kind == "fan":
         save_flat_npz(convert_fan(sd), out / "fan_2d.npz")
     elif args.kind == "s3fd":
-        raise NotImplementedError(
-            "S3FD key mapping pending a sample checkpoint; see "
-            "preprocess/s3fd.py for the target tree")
+        save_flat_npz(convert_s3fd(sd), out / "s3fd.npz")
+    elif args.kind == "graphonomy":
+        save_flat_npz(convert_graphonomy(sd), out / "graphonomy.npz")
+    elif args.kind == "x2face":
+        save_flat_npz(convert_x2face(sd), out / "x2face.npz")
+    elif args.kind == "fabnet":
+        save_flat_npz(convert_fabnet(sd), out / "fabnet.npz")
 
 
 if __name__ == "__main__":
