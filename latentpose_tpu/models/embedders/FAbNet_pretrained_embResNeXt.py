@@ -28,10 +28,12 @@ class Wrapper:
 
     @staticmethod
     def get_net(args):
-        logger.warning(
-            "FAbNet_pretrained_embResNeXt: pretrained FAb-Net weights are "
-            "not converted in this build — the frozen pose encoder is "
-            "randomly initialized (ablation plumbing only)")
+        from latentpose_tpu.utils.weights import find_weights_file
+        if find_weights_file("fabnet.npz") is None:
+            logger.warning(
+                "FAbNet_pretrained_embResNeXt: converted FAb-Net weights "
+                "(fabnet.npz) not found — the frozen pose encoder is "
+                "randomly initialized (ablation plumbing only; WEIGHTS.md)")
         return Embedder(
             identity_embedding_size=args.embed_channels,
             pose_embedding_size=args.pose_embedding_size,
@@ -59,6 +61,7 @@ class FAbNetEncoder(nn.Module):
 
 class Embedder(nn.Module):
     INPUT_KEYS = ("enc_rgbs", "pose_input_rgbs")
+    PRETRAINED = (("pose_encoder", "fabnet.npz", ""),)
 
     identity_embedding_size: int = 512
     pose_embedding_size: int = 256

@@ -33,10 +33,12 @@ class Wrapper:
 
     @staticmethod
     def get_net(args):
-        logger.warning(
-            "X2Face_pretrained_embResNeXt: pretrained X2Face weights are "
-            "not converted in this build — the frozen pose encoder is "
-            "randomly initialized (ablation plumbing only)")
+        from latentpose_tpu.utils.weights import find_weights_file
+        if find_weights_file("x2face.npz") is None:
+            logger.warning(
+                "X2Face_pretrained_embResNeXt: converted X2Face weights "
+                "(x2face.npz) not found — the frozen pose encoder is "
+                "randomly initialized (ablation plumbing only; WEIGHTS.md)")
         return Embedder(
             identity_embedding_size=args.embed_channels,
             pose_embedding_size=args.pose_embedding_size,
@@ -46,6 +48,8 @@ class Wrapper:
 
 class Embedder(nn.Module):
     INPUT_KEYS = ("enc_rgbs", "pose_input_rgbs")
+    # the pose path is the X2Face *driving* UNet (reference ``:80-83``)
+    PRETRAINED = (("pose_unet", "x2face.npz", "driving_net"),)
 
     identity_embedding_size: int = 512
     pose_embedding_size: int = 256

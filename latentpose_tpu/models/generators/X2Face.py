@@ -35,16 +35,21 @@ class Wrapper:
 
     @staticmethod
     def get_net(args):
-        logger.warning(
-            "X2Face generator: pretrained X2Face weights are not converted "
-            "in this build — weights are randomly initialized (pipeline/"
-            "ablation use only)")
+        from latentpose_tpu.utils.weights import find_weights_file
+        if find_weights_file("x2face.npz") is None:
+            logger.warning(
+                "X2Face generator: converted X2Face weights (x2face.npz) "
+                "not found — weights are randomly initialized (pipeline/"
+                "ablation use only; see WEIGHTS.md)")
         return Generator()
 
 
 class Generator(nn.Module):
     INPUT_KEYS = ("enc_rgbs", "pose_input_rgbs")
     FINETUNE_PARAM = "none"  # frozen model; identity images saved at FT time
+    # converted release weights (runners/build.overlay_pretrained):
+    # (target subtree, npz file, source subtree in the file)
+    PRETRAINED = (("", "x2face.npz", ""),)
 
     dtype: Any = None
 

@@ -73,6 +73,60 @@ def init_variables(args, models, rng):
     return emb_vars, gen_vars, dis_vars
 
 
+def _merge_overlay(existing, src, label):
+    """Replace leaves of `existing` by same-path leaves of `src`;
+    unknown keys or shape mismatches are conversion bugs -> error."""
+    if not isinstance(existing, dict):
+        src = jnp.asarray(src)
+        if src.shape != existing.shape:
+            raise ValueError(
+                f"pretrained overlay {label}: shape {src.shape} != model "
+                f"{existing.shape}")
+        return src.astype(existing.dtype)
+    out = dict(existing)
+    for key, value in src.items():
+        if key not in existing:
+            raise ValueError(
+                f"pretrained overlay {label}: unknown key {key!r} "
+                f"(model has {sorted(existing)})")
+        out[key] = _merge_overlay(existing[key], value, f"{label}/{key}")
+    return out
+
+
+def overlay_pretrained(models, params, batch_stats):
+    """Inject converted frozen-dependency weights (X2Face / FAbNet — see
+    WEIGHTS.md) into freshly initialized trees.  Models declare
+    ``PRETRAINED = ((target_subtree, npz_filename, source_subtree), ...)``;
+    files are discovered via utils/weights.find_weights_file and silently
+    skipped when absent (the wrappers already warn loudly)."""
+    from latentpose_tpu.utils.weights import (find_weights_file,
+                                              load_flat_npz_variables)
+    for component, model in models.items():
+        for target, filename, source in getattr(model, "PRETRAINED", ()):
+            path = find_weights_file(filename)
+            if path is None:
+                continue
+            variables = load_flat_npz_variables(path)
+            for coll, store in (("params", params),
+                                ("batch_stats", batch_stats)):
+                src = variables.get(coll, {})
+                for part in [p for p in source.split("/") if p]:
+                    src = src.get(part, {})
+                if not src or component not in store:
+                    continue
+                node = store[component]
+                parts = [p for p in target.split("/") if p]
+                for part in parts[:-1]:
+                    node = node[part]
+                label = f"{component}:{filename}"
+                if parts:
+                    node[parts[-1]] = _merge_overlay(node[parts[-1]], src,
+                                                     label)
+                else:
+                    store[component] = _merge_overlay(store[component], src,
+                                                      label)
+
+
 def init_train_state(args, models, opt_g, opt_d, rng,
                      finetune: bool = False,
                      finetune_embedding=None) -> TrainState:
@@ -92,6 +146,8 @@ def init_train_state(args, models, opt_g, opt_d, rng,
         params["finetune_embedding"] = finetune_embedding
 
     batch_stats = {"embedder": emb_vars.get("batch_stats", {})}
+    # converted frozen-dependency weights (before EMA deepcopy)
+    overlay_pretrained(models, params, batch_stats)
     spectral = {"embedder": emb_vars.get("spectral", {}),
                 "generator": gen_vars.get("spectral", {}),
                 "discriminator": dis_vars.get("spectral", {})}
