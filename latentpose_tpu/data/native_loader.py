@@ -58,6 +58,14 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_int),
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float)]
+        lib.lpr_load_cropped_batch.restype = ctypes.c_int
+        lib.lpr_load_cropped_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float)]
         _lib = lib
     except OSError as exc:
         logger.warning("Could not load native loader: %s", exc)
@@ -97,6 +105,30 @@ class NativeBatchLoader:
                 ctypes.POINTER(ctypes.c_int))
         failed = self._lib.lpr_load_batch(
             self._pool, c_paths, n, crops_ptr, target_size, target_size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out, failed
+
+    def load_cropped(self, paths, bboxes, has_bbox, out_size):
+        """Dataset-parity path: decode -> bbox crop with blur-faded
+        reflect101 padding (data/common/crop.py semantics, incl. the
+        VoxCeleb2.1 1px border strip when ``has_bbox``) -> AREA/CUBIC
+        resize.
+
+        paths: N files; bboxes: (N, 4) float64 (l, t, r, b) in [0, 1]
+        (already squared + 1.8-scaled); has_bbox: (N,) bool.
+        Returns (images (N, out, out, 3) float32 in [0, 1], n_failed).
+        """
+        n = len(paths)
+        out = np.empty((n, out_size, out_size, 3), np.float32)
+        c_paths = (ctypes.c_char_p * n)(
+            *[str(p).encode("utf-8") for p in paths])
+        bb = np.ascontiguousarray(bboxes, np.float64)
+        hb = np.ascontiguousarray(has_bbox, np.uint8)
+        failed = self._lib.lpr_load_cropped_batch(
+            self._pool, c_paths, n,
+            bb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            hb.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            out_size,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return out, failed
 

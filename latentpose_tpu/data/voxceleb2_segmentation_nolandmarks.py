@@ -87,6 +87,43 @@ class SegmSampleLoader(voxceleb.SampleLoader):
         l, t, r, b = crop_lib.square_and_scale_bbox(l, t, r, b)
         return l, t, r, b, True
 
+    def _resolve_image(self, path, i):
+        img_path = Path(self.data_root) / self.img_dir / path / (i + ".jpg")
+        if not img_path.exists():
+            for ext in voxceleb.IMAGE_EXTENSIONS:
+                alt = img_path.with_suffix(ext)
+                if alt.exists():
+                    return alt
+        return img_path
+
+    def load_images(self, path, ids, imsize):
+        """Batched decode + padded crop + resize for several frames of one
+        sequence.  Fast path: the native C++ pool (decode, blur-fade padded
+        crop, AREA/CUBIC resize — parity-tested vs the python path in
+        tests/test_native_cropped_loader.py); falls back to per-frame
+        load_sample when the library is unavailable."""
+        from latentpose_tpu.data import native_loader
+        if not native_loader.is_available():
+            return [self.load_sample(path, i, imsize,
+                                     load_image=True)["image"] for i in ids]
+        if getattr(self, "_native", None) is None:
+            self._native = native_loader.NativeBatchLoader()
+        paths, bboxes, flags = [], [], []
+        for i in ids:
+            l, t, r, b, has_bbox = self._bbox_for(path, i)
+            paths.append(self._resolve_image(path, i))
+            bboxes.append((l, t, r, b))
+            flags.append(has_bbox)
+        images, failed = self._native.load_cropped(
+            paths, np.asarray(bboxes, np.float64),
+            np.asarray(flags, np.uint8), imsize)
+        if failed:
+            # zeros fallback matches the python path's missing-image
+            # behavior (voxceleb.py load_rgb -> zeros)
+            logger.error("%d/%d frames failed to load under %s",
+                         failed, len(ids), path)
+        return list(images)
+
     def load_segm(self, path, i):
         import cv2
         base = Path(self.data_root) / self.segm_dir / path
@@ -179,10 +216,8 @@ class VoxCeleb2SegmDataset(voxceleb.VoxCeleb2DatasetBase):
             ids = self.loader.list_ids(path, self.n_frames_for_encoder + 1)
             enc_ids, dec_id = ids[:-1], ids[-1]
 
-            enc = np.stack([
-                self.loader.load_sample(path, i, self.imsize,
-                                        load_image=True)["image"]
-                for i in enc_ids])
+            enc = np.stack(
+                self.loader.load_images(path, enc_ids, self.imsize))
             data_dict["enc_rgbs"] = enc
 
             dec = self.loader.load_sample(
