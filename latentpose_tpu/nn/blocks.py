@@ -80,11 +80,18 @@ class ResBlock(nn.Module):
             h = norm_ops.adain(h, ada0[0], ada0[1], self.eps)
 
         h = nn.relu(h)
-        if self.upsample:
-            h = upsample_nearest_2x(h)
-        h = SNConv(self.out_features, (3, 3), padding=conv_padding,
-                   use_bias=conv_bias, name="conv0")(maybe_pad(h),
-                                                     update_stats)
+        if self.upsample and self.padding == "zero":
+            # fused sub-pixel upsample+conv: exact, never materializes the
+            # 2x tensor (the tail up-blocks are HBM-bandwidth-bound)
+            h = SNConv(self.out_features, (3, 3), padding=1,
+                       use_bias=conv_bias, upsample_2x=True,
+                       name="conv0")(h, update_stats)
+        else:
+            if self.upsample:
+                h = upsample_nearest_2x(h)
+            h = SNConv(self.out_features, (3, 3), padding=conv_padding,
+                       use_bias=conv_bias, name="conv0")(maybe_pad(h),
+                                                         update_stats)
 
         if self.norm_layer == "in":
             h = InstanceNormAffine(self.out_features, self.eps,
@@ -104,10 +111,12 @@ class ResBlock(nn.Module):
                       or self.downsample)
         if needs_skip:
             s = x
-            if self.upsample:
-                s = upsample_nearest_2x(s)
+            # 1x1 conv commutes with nearest upsampling: convolve at the
+            # low resolution, then upsample the (usually narrower) result
             s = SNConv(self.out_features, (1, 1), padding=0, use_bias=True,
                        name="skip")(s, update_stats)
+            if self.upsample:
+                s = upsample_nearest_2x(s)
             if self.downsample:
                 s = avg_pool_2x(s)
             return h + s

@@ -96,6 +96,9 @@ class SNConv(nn.Module, _SNMixin):
     padding: Any = 1          # int zero-padding like torch Conv2d(padding=N)
     use_bias: bool = True
     sn_eps: float = 1e-4
+    # fused nearest-up-2x + conv (exact sub-pixel decomposition — see
+    # ops/image.upsample2x_conv3x3); requires 3x3 kernel, zero pad 1
+    upsample_2x: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -115,10 +118,17 @@ class SNConv(nn.Module, _SNMixin):
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
         dtype = self.dtype or x.dtype
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype), kernel_sn.astype(dtype),
-            window_strides=self.strides, padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.upsample_2x:
+            assert self.kernel_size == (3, 3) and self.padding == 1 \
+                and self.strides == (1, 1), \
+                "fused upsample_2x needs a 3x3/pad-1/stride-1 conv"
+            from latentpose_tpu.ops.image import upsample2x_conv3x3
+            y = upsample2x_conv3x3(x.astype(dtype), kernel_sn.astype(dtype))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype), kernel_sn.astype(dtype),
+                window_strides=self.strides, padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             bias = self.param("bias",
                               tinit.torch_bias_init(kh * kw * in_features),
