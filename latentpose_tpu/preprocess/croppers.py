@@ -221,18 +221,18 @@ def make_face_detector(weights_dir):
 
 
 def make_cropper(style, output_size=(256, 256), weights_dir=None):
+    from latentpose_tpu.utils.weights import find_weights_file
     face_detector = make_face_detector(weights_dir)
     landmark_backend = None
-    if weights_dir:
-        import os
-        if os.path.exists(os.path.join(str(weights_dir), "fan_2d.npz")):
-            from latentpose_tpu.eval.backends import FANBackend
-            fan = FANBackend(os.path.join(str(weights_dir), "fan_2d.npz"))
+    fan_path = find_weights_file("fan_2d.npz", weights_dir)
+    if fan_path is not None:
+        from latentpose_tpu.eval.backends import FANBackend
+        fan = FANBackend(fan_path)
 
-            def landmark_backend(image, bbox=None):  # noqa: F811
-                lm, _ = fan(image)
-                return np.concatenate(
-                    [lm, np.zeros((68, 1), np.float32)], axis=1)
+        def landmark_backend(image, bbox=None):  # noqa: F811
+            lm, _ = fan(image)
+            return np.concatenate(
+                [lm, np.zeros((68, 1), np.float32)], axis=1)
 
     if style == "latentpose":
         return LatentPoseFaceCropper(output_size, face_detector,

@@ -92,9 +92,8 @@ def segment_with_tta(backend, image_rgb_uint8, scales=TTA_SCALES,
 
 
 def make_segmentation_backend(weights_dir=None):
-    import os
-    if weights_dir:
-        path = os.path.join(str(weights_dir), "graphonomy.npz")
-        if os.path.exists(path):
-            return GraphonomyBackend(path)
+    from latentpose_tpu.utils.weights import find_weights_file
+    path = find_weights_file("graphonomy.npz", weights_dir)
+    if path is not None:
+        return GraphonomyBackend(path)
     return GrabCutBackend()
