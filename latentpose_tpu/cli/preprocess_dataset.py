@@ -98,6 +98,15 @@ def main(argv=None):
     parser.add_argument("--do_crop", action="store_true")
     parser.add_argument("--do_compute_segmentation", action="store_true")
     parser.add_argument("--do_crop_ffhq", action="store_true")
+    # Optional 3DMM pose/expression stage (reference
+    # preprocess_dataset.sh:148-165 shells out to a PRIVATE python2
+    # Expression-Net checkout — an external hook even there).  Exposed for
+    # pipeline-ordering parity; requires an external estimator command.
+    parser.add_argument("--do_compute_pose_3dmm", action="store_true")
+    parser.add_argument("--pose_3dmm_command", type=str, default="",
+                        help="External command invoked as "
+                             "'<cmd> <images_list_file> <output_dir>' to "
+                             "produce per-frame 3DMM coefficient .npy files")
     parser.add_argument("--fps", type=float, default=0)
     args = parser.parse_args(argv)
 
@@ -112,6 +121,24 @@ def main(argv=None):
     if args.do_compute_segmentation:
         compute_segmentation(root / "images-cropped",
                              root / "segmentation-cropped", args.weights_dir)
+    if args.do_compute_pose_3dmm:
+        if not args.pose_3dmm_command:
+            raise SystemExit(
+                "--do_compute_pose_3dmm needs --pose_3dmm_command: the "
+                "reference's stage shells out to a private Expression-Net "
+                "checkout (utils/preprocess_dataset.sh:148-165); provide "
+                "an equivalent external estimator command")
+        import subprocess
+        import tempfile
+        images = sorted((root / "images-cropped").rglob("*.jpg"))
+        with tempfile.NamedTemporaryFile("w", suffix=".txt",
+                                         delete=False) as f:
+            f.write("\n".join(str(p) for p in images))
+            list_file = f.name
+        out_dir = root / "pose-3dmm"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        subprocess.run(args.pose_3dmm_command.split()
+                       + [list_file, str(out_dir)], check=True)
     if args.do_crop_ffhq:
         crop_identities(root / args.raw_images_dir,
                         root / "images-cropped-ffhq",

@@ -70,3 +70,35 @@ def test_block_variants_shapes():
     mb = MobileNetBlock(16, 16)
     v = mb.init(jax.random.PRNGKey(3), x)
     assert mb.apply(v, x).shape == x.shape
+
+
+def test_preprocess_pose_3dmm_stage(tmp_path):
+    """Optional 3DMM stage (reference preprocess_dataset.sh:148-165 shells
+    out to an external estimator): list file + output dir are passed to the
+    configured command; absent command -> explicit error."""
+    import sys
+
+    import cv2
+    import numpy as np
+    import pytest
+
+    from latentpose_tpu.cli.preprocess_dataset import main
+
+    img_dir = tmp_path / "images-cropped" / "idA" / "seq1"
+    img_dir.mkdir(parents=True)
+    for i in range(2):
+        cv2.imwrite(str(img_dir / f"{i:05d}.jpg"),
+                    np.full((8, 8, 3), 128, np.uint8))
+
+    with pytest.raises(SystemExit, match="pose_3dmm_command"):
+        main(["--data_root", str(tmp_path), "--do_compute_pose_3dmm"])
+
+    marker = tmp_path / "invoked.py"
+    marker.write_text(
+        "import sys, pathlib\n"
+        "lst, out = sys.argv[1], sys.argv[2]\n"
+        "n = len(open(lst).read().splitlines())\n"
+        "(pathlib.Path(out) / f'saw_{n}.txt').write_text('ok')\n")
+    main(["--data_root", str(tmp_path), "--do_compute_pose_3dmm",
+          "--pose_3dmm_command", f"{sys.executable} {marker}"])
+    assert (tmp_path / "pose-3dmm" / "saw_2.txt").exists()
