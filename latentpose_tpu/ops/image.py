@@ -28,14 +28,19 @@ def avg_pool_2x(x):
 
 def upsample2x_conv3x3(x, kernel):
     """``conv3x3(upsample_nearest_2x(x), kernel, zero-pad 1)`` computed
-    EXACTLY at the input resolution (sub-pixel decomposition).
+    EXACTLY at the input resolution (sub-pixel / polyphase decomposition).
 
-    The 2x-upsampled tensor is never materialized: each output parity
-    (dy, dx) of the 2x grid sees only a 2x2 window of x, with taps that are
-    sums of the original 3x3 taps.  4 parity convs at (H, W) + an interleave
-    replace 1 conv at (2H, 2W): 0.44x the FLOPs and none of the HBM traffic
-    of the upsampled activations — the decoder's up-blocks are
-    bandwidth-bound at the tail (tools/bench_drive_tail.py).
+    Each output parity (dy, dx) of the 2x grid sees only a 2x2 window of x,
+    with taps that are sums of the original 3x3 taps.  All four parities are
+    produced by ONE conv at (H, W) whose kernel scatters the parity taps
+    onto a 3x3 window (output channels ordered (py, px, c')), followed by a
+    depth-to-space interleave that XLA fuses into the conv's output write.
+
+    Measured on v5e @ batch 128 for the decoder's up256 geometry
+    (tools/bench_up256_variants.py, max-reducer chained timing):
+    6.6 ms vs 13.3 ms for up-then-conv at 2x res and 7.0 ms for 4 separate
+    parity convs + stack — the single conv keeps 4*C' output lanes on the
+    MXU and never materializes the nearest-upsampled tensor.
 
     x: (B, H, W, C); kernel: (3, 3, C, C').  Returns (B, 2H, 2W, C').
     """
@@ -55,14 +60,20 @@ def upsample2x_conv3x3(x, kernel):
     k00, k01 = col_combo(r0)
     k10, k11 = col_combo(r1)
 
-    def conv(k, pad_y, pad_x):
-        return lax.conv_general_dilated(
-            x, k, window_strides=(1, 1), padding=(pad_y, pad_x),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # One 3x3 (pad-1) kernel holding all four parity sub-windows: parity 0
+    # reads rows/cols 0:2 of the window, parity 1 rows/cols 1:3.
+    c_in = kernel.shape[2]
+    K = jnp.zeros((3, 3, c_in, 2, 2, c_out), kernel.dtype)
+    K = K.at[0:2, 0:2, :, 0, 0, :].set(k00)
+    K = K.at[0:2, 1:3, :, 0, 1, :].set(k01)
+    K = K.at[1:3, 0:2, :, 1, 0, :].set(k10)
+    K = K.at[1:3, 1:3, :, 1, 1, :].set(k11)
+    K = K.reshape(3, 3, c_in, 4 * c_out)
 
-    p0, p1 = (1, 0), (0, 1)  # parity 0 pads before, parity 1 after
-    y = jnp.stack([conv(k00, p0, p0), conv(k01, p0, p1),
-                   conv(k10, p1, p0), conv(k11, p1, p1)], axis=3)
+    y = lax.conv_general_dilated(
+        x, K, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # depth-to-space: (B, H, W, (py, px, c')) -> (B, 2H, 2W, c')
     y = y.reshape(b, h, w, 2, 2, c_out)
     y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
     return y.reshape(b, 2 * h, 2 * w, c_out)

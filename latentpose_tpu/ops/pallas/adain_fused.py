@@ -63,7 +63,11 @@ def _pick_tiles(h, w, c, itemsize):
     c_tile = min(c, 128)
     while c % c_tile:
         c_tile //= 2
-    budget = 2 * 1024 * 1024  # per-chunk VMEM budget
+    # per-chunk VMEM budget: in + out blocks are double-buffered, and v5e
+    # enforces a 16 MiB scoped-vmem stack limit — a 2 MiB chunk (= 16 MiB
+    # total with buffering + scratch) OOMs at the flagship 256²x64 shape,
+    # so stay at 1 MiB (measured working on v5e, tools/bench_up256_variants)
+    budget = 1024 * 1024
     h_chunk = max(1, min(h, budget // max(1, w * c_tile * itemsize)))
     while h % h_chunk:
         h_chunk -= 1

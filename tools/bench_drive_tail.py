@@ -80,10 +80,11 @@ def main():
         @jax.jit
         def chained(x0, once=once):
             def body(i, carry):
-                out = once(x0 + carry * 0.0)
-                return jnp.sum(out[:, 0, 0, :]).astype(x0.dtype)
-            return jax.lax.fori_loop(0, CHAIN, body,
-                                     jnp.zeros((), x0.dtype))
+                out = once(x0 + carry.astype(x0.dtype))
+                # max-|.| full reduce: not linearly separable, so XLA can
+                # neither slice through pure convs (DCE) nor hoist the body
+                return jnp.max(jnp.abs(out.astype(jnp.float32))) * 1e-30
+            return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0))
 
         ms = timeit(lambda f=chained, x=x: f(x), iters=args.iters)
         res_out = res * 2 if up else res
@@ -101,10 +102,10 @@ def main():
     @jax.jit
     def head_chained(x0):
         def body(i, carry):
-            out, _ = head.apply(variables, x0 + carry * 0.0,
+            out, _ = head.apply(variables, x0 + carry.astype(x0.dtype),
                                 mutable=["spectral"])
-            return jnp.sum(out[:, 0, 0, :]).astype(x0.dtype)
-        return jax.lax.fori_loop(0, CHAIN, body, jnp.zeros((), x0.dtype))
+            return jnp.max(jnp.abs(out.astype(jnp.float32))) * 1e-30
+        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0))
 
     ms = timeit(lambda: head_chained(x), iters=args.iters)
     total += ms
@@ -130,11 +131,11 @@ def main():
     def gen_chained(emb, pose):
         def body(i, carry):
             rgbs, _ = gen.apply(gen_vars,
-                                {"embeds": emb + carry * 0.0,
+                                {"embeds": emb + carry.astype(emb.dtype),
                                  "pose_embedding": pose},
                                 update_stats=False)
-            return jnp.sum(rgbs[:, 0, 0, :]).astype(emb.dtype)
-        return jax.lax.fori_loop(0, CHAIN, body, jnp.zeros((), emb.dtype))
+            return jnp.max(jnp.abs(rgbs.astype(jnp.float32))) * 1e-30
+        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0))
 
     ms = timeit(lambda: gen_chained(emb, pose), iters=args.iters)
     print(f"FULL generator fwd: {ms:.3f} ms ({b / ms * 1e3:.0f} fps)")
