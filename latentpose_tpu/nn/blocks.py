@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from latentpose_tpu.ops import norms as norm_ops
-from latentpose_tpu.ops.image import avg_pool_2x, upsample_nearest_2x
+from latentpose_tpu.ops.image import (avg_pool_2x, depth_to_space,
+                                      upsample_nearest_2x)
 from latentpose_tpu.ops.spectral_norm import SNConv
 
 AdaParams = Tuple[jnp.ndarray, jnp.ndarray]  # (weight, bias), each (B, C)
@@ -80,27 +81,43 @@ class ResBlock(nn.Module):
             h = norm_ops.adain(h, ada0[0], ada0[1], self.eps)
 
         h = nn.relu(h)
-        if self.upsample and self.padding == "zero":
-            # fused sub-pixel upsample+conv: exact, never materializes the
-            # 2x tensor (the tail up-blocks are HBM-bandwidth-bound)
+        if self.upsample and self.padding == "zero" \
+                and self.norm_layer == "adain":
+            # fused sub-pixel upsample+conv emitting the space-to-depth
+            # form, with AdaIN+ReLU applied in the s2d domain (exact) and a
+            # single-consumer interleave afterwards.  Keeping norm1's two
+            # passes off the interleaved layout is worth ~8.5 ms of the
+            # up256 block's 32 ms @ batch 128 (tools/bench_block_pieces.py).
+            assert ada1 is not None, "adain ResBlock needs ada1=(weight, bias)"
             h = SNConv(self.out_features, (3, 3), padding=1,
                        use_bias=conv_bias, upsample_2x=True,
-                       name="conv0")(h, update_stats)
+                       s2d_output=True, name="conv0")(h, update_stats)
+            h = norm_ops.adain_s2d(h, ada1[0], ada1[1], self.eps)
+            h = nn.relu(h)
+            h = depth_to_space(h, self.out_features)
         else:
-            if self.upsample:
-                h = upsample_nearest_2x(h)
-            h = SNConv(self.out_features, (3, 3), padding=conv_padding,
-                       use_bias=conv_bias, name="conv0")(maybe_pad(h),
-                                                         update_stats)
+            if self.upsample and self.padding == "zero":
+                # fused sub-pixel upsample+conv: exact, never materializes
+                # the nearest-upsampled input tensor
+                h = SNConv(self.out_features, (3, 3), padding=1,
+                           use_bias=conv_bias, upsample_2x=True,
+                           name="conv0")(h, update_stats)
+            else:
+                if self.upsample:
+                    h = upsample_nearest_2x(h)
+                h = SNConv(self.out_features, (3, 3), padding=conv_padding,
+                           use_bias=conv_bias, name="conv0")(maybe_pad(h),
+                                                             update_stats)
 
-        if self.norm_layer == "in":
-            h = InstanceNormAffine(self.out_features, self.eps,
-                                   name="norm1")(h)
-        elif self.norm_layer == "adain":
-            assert ada1 is not None, "adain ResBlock needs ada1=(weight, bias)"
-            h = norm_ops.adain(h, ada1[0], ada1[1], self.eps)
+            if self.norm_layer == "in":
+                h = InstanceNormAffine(self.out_features, self.eps,
+                                       name="norm1")(h)
+            elif self.norm_layer == "adain":
+                assert ada1 is not None, \
+                    "adain ResBlock needs ada1=(weight, bias)"
+                h = norm_ops.adain(h, ada1[0], ada1[1], self.eps)
 
-        h = nn.relu(h)
+            h = nn.relu(h)
         h = SNConv(self.out_features, (3, 3), padding=conv_padding,
                    use_bias=conv_bias, name="conv1")(maybe_pad(h),
                                                      update_stats)

@@ -51,6 +51,33 @@ def adain(x, weight, bias, eps: float = 1e-4):
         + bias[:, None, None, :].astype(y.dtype)
 
 
+def adain_s2d(y, weight, bias, eps: float = 1e-4):
+    """AdaIN applied in the space-to-depth domain — exact.
+
+    y: (B, H, W, 4*C) with channels ordered (py, px, c), i.e. the output of
+    ``ops.image.upsample2x_conv3x3_s2d``; weight, bias: (B, C).
+
+    Instance-norm statistics are per (sample, channel) over ALL pixels of
+    the 2x-resolution image; in the s2d layout those pixels live in the 4
+    parity planes of each channel, so reducing over (H, W, parity) gives
+    bit-identical statistics up to float reduction order.  Doing the norm
+    BEFORE the depth-to-space interleave keeps every pass over the tensor
+    in the MXU/VPU-friendly (H, W, 4C) layout and leaves the interleave a
+    single-consumer copy (see ops/image.upsample2x_conv3x3_s2d docstring).
+    """
+    b, h, w, c4 = y.shape
+    c = c4 // 4
+    y32 = y.astype(jnp.float32).reshape(b, h, w, 4, c)
+    mean = jnp.mean(y32, axis=(1, 2, 3))                       # (B, C)
+    meansq = jnp.mean(jnp.square(y32), axis=(1, 2, 3))
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    scale = weight.astype(jnp.float32) * lax.rsqrt(var + eps)  # (B, C)
+    shift = bias.astype(jnp.float32) - mean * scale
+    scale4 = jnp.tile(scale, (1, 4))[:, None, None, :]
+    shift4 = jnp.tile(shift, (1, 4))[:, None, None, :]
+    return y * scale4.astype(y.dtype) + shift4.astype(y.dtype)
+
+
 def instance_norm_affine(x, weight, bias, eps: float = 1e-4):
     """InstanceNorm2d(affine=True) parity: shared (C,) scale/offset."""
     y = instance_norm(x, eps)

@@ -99,6 +99,10 @@ class SNConv(nn.Module, _SNMixin):
     # fused nearest-up-2x + conv (exact sub-pixel decomposition — see
     # ops/image.upsample2x_conv3x3); requires 3x3 kernel, zero pad 1
     upsample_2x: bool = False
+    # with upsample_2x: emit the space-to-depth form (B, H, W, 4*features),
+    # channels (py, px, c), leaving the interleave to the caller (so a
+    # following AdaIN can run in the s2d domain — ops/norms.adain_s2d)
+    s2d_output: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -122,8 +126,14 @@ class SNConv(nn.Module, _SNMixin):
             assert self.kernel_size == (3, 3) and self.padding == 1 \
                 and self.strides == (1, 1), \
                 "fused upsample_2x needs a 3x3/pad-1/stride-1 conv"
-            from latentpose_tpu.ops.image import upsample2x_conv3x3
-            y = upsample2x_conv3x3(x.astype(dtype), kernel_sn.astype(dtype))
+            from latentpose_tpu.ops.image import (upsample2x_conv3x3,
+                                                  upsample2x_conv3x3_s2d)
+            if self.s2d_output:
+                y = upsample2x_conv3x3_s2d(x.astype(dtype),
+                                           kernel_sn.astype(dtype))
+            else:
+                y = upsample2x_conv3x3(x.astype(dtype),
+                                       kernel_sn.astype(dtype))
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(dtype), kernel_sn.astype(dtype),
@@ -133,6 +143,8 @@ class SNConv(nn.Module, _SNMixin):
             bias = self.param("bias",
                               tinit.torch_bias_init(kh * kw * in_features),
                               (self.features,))
+            if self.upsample_2x and self.s2d_output:
+                bias = jnp.tile(bias, 4)  # channels are (py, px, c)
             y = y + bias.astype(dtype)
         return y
 
