@@ -121,3 +121,40 @@ def test_upsample2x_conv3x3_exact():
     g2 = jax.grad(loss_ref)(kernel)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_upsample2x_conv3x3_s2d_and_adain_s2d_exact():
+    """s2d-domain up-conv + AdaIN == full-res up-conv + AdaIN, exactly.
+
+    The decoder's up-blocks normalize in the space-to-depth layout before
+    the interleave (nn/blocks.py); stats must cover all 4 parity planes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from latentpose_tpu.ops.image import (depth_to_space,
+                                          upsample2x_conv3x3,
+                                          upsample2x_conv3x3_s2d)
+    from latentpose_tpu.ops.norms import adain, adain_s2d
+
+    rng = jax.random.PRNGKey(7)
+    kx, kk, kw, kb = jax.random.split(rng, 4)
+    b, h, c_in, c_out = 3, 6, 8, 16
+    x = jax.random.normal(kx, (b, h, h, c_in))
+    kernel = jax.random.normal(kk, (3, 3, c_in, c_out)) * 0.1
+    w = jax.random.normal(kw, (b, c_out)) + 1.0
+    bias = jax.random.normal(kb, (b, c_out)) * 0.1
+
+    full = adain(upsample2x_conv3x3(x, kernel), w, bias)
+    s2d = depth_to_space(
+        adain_s2d(upsample2x_conv3x3_s2d(x, kernel), w, bias), c_out)
+    np.testing.assert_allclose(np.asarray(s2d), np.asarray(full),
+                               rtol=1e-4, atol=1e-5)
+
+    # channel order of the s2d form is (py, px, c)
+    y = upsample2x_conv3x3_s2d(x, kernel)
+    y_manual = jnp.transpose(
+        upsample2x_conv3x3(x, kernel).reshape(b, h, 2, h, 2, c_out),
+        (0, 1, 3, 2, 4, 5)).reshape(b, h, h, 4 * c_out)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_manual),
+                               rtol=1e-4, atol=1e-5)
