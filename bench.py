@@ -129,6 +129,8 @@ def main():
 
     embedder = emb_mod.Wrapper.get_net(args)
     generator = gen_mod.Wrapper.get_net(args)
+    args_q = types.SimpleNamespace(**{**vars(args), "quantize": "int8"})
+    generator_q = gen_mod.Wrapper.get_net(args_q)
 
     rng = jax.random.PRNGKey(0)
     emb_vars = embedder.init(
@@ -141,37 +143,53 @@ def main():
 
     cd = jnp.bfloat16
 
-    @jax.jit
-    def drive_step(frames):
-        pose = embedder.apply(emb_vars, frames.astype(cd)[:, None],
-                              train=False, method="get_pose_embedding")
-        idt = jnp.broadcast_to(identity, (frames.shape[0], 512))
-        rgbs, _ = generator.apply(
-            gen_vars, {"embeds": idt.astype(cd),
-                       "pose_embedding": pose.astype(cd)},
-            update_stats=False)
-        return rgbs  # bf16 on device; video writer converts on host
+    def make_drive_step(gen):
+        @jax.jit
+        def drive_step(frames):
+            pose = embedder.apply(emb_vars, frames.astype(cd)[:, None],
+                                  train=False, method="get_pose_embedding")
+            idt = jnp.broadcast_to(identity, (frames.shape[0], 512))
+            rgbs, _ = gen.apply(
+                gen_vars, {"embeds": idt.astype(cd),
+                           "pose_embedding": pose.astype(cd)},
+                update_stats=False)
+            return rgbs  # bf16 on device; video writer converts on host
+        return drive_step
 
     frames = jax.device_put(
         np.random.rand(batch, image_size, image_size, 3).astype(np.float32))
 
-    # Warmup / compile
-    drive_step(frames).block_until_ready()
+    def measure(drive_step, n_iters=20):
+        drive_step(frames).block_until_ready()  # warmup / compile
+        start = time.perf_counter()
+        in_flight = []
+        for _ in range(n_iters):
+            in_flight.append(drive_step(frames))
+            if len(in_flight) > 2:  # keep the device queue fed
+                in_flight.pop(0).block_until_ready()
+        for out in in_flight:
+            out.block_until_ready()
+        return batch * n_iters / (time.perf_counter() - start)
 
-    n_iters = 20
-    start = time.perf_counter()
-    in_flight = []
-    for _ in range(n_iters):
-        in_flight.append(drive_step(frames))
-        if len(in_flight) > 2:  # keep the device queue fed
-            in_flight.pop(0).block_until_ready()
-    for out in in_flight:
-        out.block_until_ready()
-    elapsed = time.perf_counter() - start
-
-    fps = batch * n_iters / elapsed
     # Target: 2000 fps on 8 chips -> scale to this run's chip count.
     target = 2000.0 * n_chips / 8.0
+
+    # int8 serving path (drive --quantize int8; approximate, see
+    # ops/quant.py) — reported as a secondary metric
+    try:
+        fps_q = measure(make_drive_step(generator_q))
+        print(json.dumps({
+            "metric": "drive_fps_256_int8",
+            "value": round(fps_q, 1),
+            "unit": "frames/s",
+            "vs_baseline": round(fps_q / target, 3),
+        }))
+        sys.stdout.flush()
+    except Exception as exc:
+        print(f"int8 drive bench failed: {exc}", file=sys.stderr)
+
+    # headline: the exact bf16 path (last line, driver-recorded)
+    fps = measure(make_drive_step(generator))
     print(json.dumps({
         "metric": "drive_fps_256",
         "value": round(fps, 1),

@@ -165,6 +165,9 @@ def main(argv=None):
     # Inline cropping of raw footage (reference drive.py crops through its
     # inference dataloader; we expose it as an explicit flag)
     parser.add("--crop", action="store_bool", default=False)
+    # int8 MXU serving path (~2x conv throughput on v5e; approximate —
+    # see ops/quant.py). '' = exact bf16/f32 path.
+    parser.add("--quantize", type=str, default="", choices=["", "int8"])
 
     # Reference CLI: ``drive.py CHECKPOINT [DATA_ROOT] --images_paths ...``;
     # rewrite positionals to flags *before* resolution so the saved

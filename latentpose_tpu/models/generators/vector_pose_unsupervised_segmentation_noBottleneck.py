@@ -49,6 +49,7 @@ class Wrapper:
     def get_net(args):
         return Generator(
             padding=args.gen_padding,
+            quantize=getattr(args, "quantize", "") == "int8",
             out_channels=args.out_channels + 1,  # +1 segmentation channel
             num_channels=args.num_channels,
             max_num_channels=args.max_num_channels,
@@ -73,6 +74,10 @@ class Generator(nn.Module):
     num_residual_blocks: int = 2
     output_image_size: int = 256
     dtype: Any = None
+    # int8 MXU inference path for the decoder blocks (drive --quantize int8;
+    # ops/quant.py).  The head conv stays bf16 — output quality is most
+    # sensitive there and it is only ~3% of decoder time.
+    quantize: bool = False
 
     def _schedule(self) -> Tuple[List[Tuple[int, int, bool]], List[int], int]:
         """Static channel plan.
@@ -159,6 +164,7 @@ class Generator(nn.Module):
             # path references a never-imported SyncBatchNorm — dead code).
             x = ResBlock(in_ch, out_ch, norm_layer="adain",
                          upsample=up, padding=self.padding,
+                         quantize=self.quantize,
                          name=f"block{i}")(
                 x, ada0=ada_params[2 * i], ada1=ada_params[2 * i + 1],
                 update_stats=update_stats)

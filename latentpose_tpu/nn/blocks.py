@@ -61,6 +61,7 @@ class ResBlock(nn.Module):
     downsample: bool = False
     padding: str = "zero"             # 'zero' | 'reflection'
     eps: float = 1e-4
+    quantize: bool = False            # int8 inference path (ops/quant.py)
 
     @nn.compact
     def __call__(self, x, ada0: Optional[AdaParams] = None,
@@ -91,7 +92,8 @@ class ResBlock(nn.Module):
             assert ada1 is not None, "adain ResBlock needs ada1=(weight, bias)"
             h = SNConv(self.out_features, (3, 3), padding=1,
                        use_bias=conv_bias, upsample_2x=True,
-                       s2d_output=True, name="conv0")(h, update_stats)
+                       s2d_output=True, quantize=self.quantize,
+                       name="conv0")(h, update_stats)
             h = norm_ops.adain_s2d(h, ada1[0], ada1[1], self.eps)
             h = nn.relu(h)
             h = depth_to_space(h, self.out_features)
@@ -101,13 +103,14 @@ class ResBlock(nn.Module):
                 # the nearest-upsampled input tensor
                 h = SNConv(self.out_features, (3, 3), padding=1,
                            use_bias=conv_bias, upsample_2x=True,
+                           quantize=self.quantize,
                            name="conv0")(h, update_stats)
             else:
                 if self.upsample:
                     h = upsample_nearest_2x(h)
                 h = SNConv(self.out_features, (3, 3), padding=conv_padding,
-                           use_bias=conv_bias, name="conv0")(maybe_pad(h),
-                                                             update_stats)
+                           use_bias=conv_bias, quantize=self.quantize,
+                           name="conv0")(maybe_pad(h), update_stats)
 
             if self.norm_layer == "in":
                 h = InstanceNormAffine(self.out_features, self.eps,
@@ -119,8 +122,8 @@ class ResBlock(nn.Module):
 
             h = nn.relu(h)
         h = SNConv(self.out_features, (3, 3), padding=conv_padding,
-                   use_bias=conv_bias, name="conv1")(maybe_pad(h),
-                                                     update_stats)
+                   use_bias=conv_bias, quantize=self.quantize,
+                   name="conv1")(maybe_pad(h), update_stats)
         if self.downsample:
             h = avg_pool_2x(h)
 
@@ -131,7 +134,7 @@ class ResBlock(nn.Module):
             # 1x1 conv commutes with nearest upsampling: convolve at the
             # low resolution, then upsample the (usually narrower) result
             s = SNConv(self.out_features, (1, 1), padding=0, use_bias=True,
-                       name="skip")(s, update_stats)
+                       quantize=self.quantize, name="skip")(s, update_stats)
             if self.upsample:
                 s = upsample_nearest_2x(s)
             if self.downsample:

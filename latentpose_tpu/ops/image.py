@@ -60,6 +60,16 @@ def upsample2x_conv3x3_s2d(x, kernel):
     the interleaved conv costs 12.1 ms in context vs 3.0 ms standalone,
     tools/bench_block_pieces.py).
     """
+    return lax.conv_general_dilated(
+        x, s2d_up_kernel(kernel), window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def s2d_up_kernel(kernel):
+    """(3, 3, C, C') kernel -> the (3, 3, C, 4*C') polyphase kernel whose
+    pad-1 conv at low res equals nearest-up-2x + conv3x3, output channels
+    ordered (py, px, c')."""
     c_in, c_out = kernel.shape[2], kernel.shape[3]
 
     r0 = jnp.stack([kernel[0], kernel[1] + kernel[2]], axis=0)  # (2,3,C,C')
@@ -78,11 +88,7 @@ def upsample2x_conv3x3_s2d(x, kernel):
     K = K.at[0:2, 1:3, :, 0, 1, :].set(k01)
     K = K.at[1:3, 0:2, :, 1, 0, :].set(k10)
     K = K.at[1:3, 1:3, :, 1, 1, :].set(k11)
-    K = K.reshape(3, 3, c_in, 4 * c_out)
-
-    return lax.conv_general_dilated(
-        x, K, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return K.reshape(3, 3, c_in, 4 * c_out)
 
 
 def depth_to_space(y, c_out):

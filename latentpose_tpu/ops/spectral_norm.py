@@ -103,6 +103,10 @@ class SNConv(nn.Module, _SNMixin):
     # channels (py, px, c), leaving the interleave to the caller (so a
     # following AdaIN can run in the s2d domain — ops/norms.adain_s2d)
     s2d_output: bool = False
+    # int8 MXU path for inference serving (~2x conv throughput on v5e;
+    # ops/quant.py) — dynamic activation scale + per-channel weight scales.
+    # Approximate; only the drive CLI's --quantize int8 enables it.
+    quantize: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -126,14 +130,27 @@ class SNConv(nn.Module, _SNMixin):
             assert self.kernel_size == (3, 3) and self.padding == 1 \
                 and self.strides == (1, 1), \
                 "fused upsample_2x needs a 3x3/pad-1/stride-1 conv"
-            from latentpose_tpu.ops.image import (upsample2x_conv3x3,
+            from latentpose_tpu.ops.image import (depth_to_space,
+                                                  s2d_up_kernel,
+                                                  upsample2x_conv3x3,
                                                   upsample2x_conv3x3_s2d)
-            if self.s2d_output:
+            if self.quantize:
+                from latentpose_tpu.ops.quant import conv2d_int8
+                y = conv2d_int8(x.astype(dtype),
+                                s2d_up_kernel(kernel_sn).astype(dtype),
+                                (1, 1), [(1, 1), (1, 1)], out_dtype=dtype)
+                if not self.s2d_output:
+                    y = depth_to_space(y, self.features)
+            elif self.s2d_output:
                 y = upsample2x_conv3x3_s2d(x.astype(dtype),
                                            kernel_sn.astype(dtype))
             else:
                 y = upsample2x_conv3x3(x.astype(dtype),
                                        kernel_sn.astype(dtype))
+        elif self.quantize:
+            from latentpose_tpu.ops.quant import conv2d_int8
+            y = conv2d_int8(x.astype(dtype), kernel_sn.astype(dtype),
+                            self.strides, pad, out_dtype=dtype)
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(dtype), kernel_sn.astype(dtype),

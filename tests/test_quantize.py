@@ -1,0 +1,120 @@
+"""int8 inference path (ops/quant.py, drive --quantize int8)."""
+
+import numpy as np
+import pytest
+
+
+def test_conv2d_int8_matches_float_within_quant_error():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from latentpose_tpu.ops.quant import conv2d_int8
+
+    rng = jax.random.PRNGKey(0)
+    kx, kk = jax.random.split(rng)
+    x = jax.random.normal(kx, (2, 16, 16, 32))
+    k = jax.random.normal(kk, (3, 3, 32, 64)) * 0.1
+
+    exact = lax.conv_general_dilated(x, k, (1, 1), [(1, 1), (1, 1)],
+                                     dimension_numbers=("NHWC", "HWIO",
+                                                        "NHWC"))
+    quant = conv2d_int8(x, k, out_dtype=jnp.float32)
+    # symmetric 8-bit: relative error well under 2% at these magnitudes
+    rel = (jnp.linalg.norm(quant - exact)
+           / jnp.linalg.norm(exact))
+    assert float(rel) < 0.02, float(rel)
+
+
+def test_quantized_generator_output_close_to_exact():
+    """--quantize int8 changes compute only: same param tree, and the
+    rendered image stays visually identical (PSNR bound)."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from latentpose_tpu.models.generators import (
+        vector_pose_unsupervised_segmentation_noBottleneck as gen_mod)
+
+    def make(quantize):
+        args = types.SimpleNamespace(
+            image_size=64, out_channels=3, num_channels=16,
+            max_num_channels=128, embed_channels=64,
+            pose_embedding_size=32, gen_padding="zero",
+            gen_constant_input_size=4, gen_num_residual_blocks=1,
+            norm_layer="in", quantize="int8" if quantize else "")
+        return gen_mod.Wrapper.get_net(args)
+
+    gen = make(False)
+    gen_q = make(True)
+    rng = jax.random.PRNGKey(3)
+    inputs = {"embeds": jax.random.normal(rng, (2, 64)),
+              "pose_embedding": jax.random.normal(rng, (2, 32))}
+    variables = gen.init(rng, inputs)
+
+    # identical param trees: the quantized model loads the same checkpoint
+    vq = gen_q.init(rng, inputs)
+    assert jax.tree_util.tree_structure(variables) \
+        == jax.tree_util.tree_structure(vq)
+
+    rgb, segm = gen.apply(variables, inputs, update_stats=False)
+    rgb_q, segm_q = gen_q.apply(variables, inputs, update_stats=False)
+
+    mse = float(jnp.mean(jnp.square(rgb - rgb_q)))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 30.0, f"quantized PSNR too low: {psnr:.1f} dB"
+    assert float(jnp.max(jnp.abs(segm - segm_q))) < 0.2
+
+
+def test_drive_cli_accepts_quantize_flag(tmp_path):
+    """Smoke: --quantize int8 drives a fine-tuned avatar end-to-end and
+    matches the exact path closely on the rendered frames."""
+    from pathlib import Path
+
+    pytest.importorskip("cv2")
+    from latentpose_tpu.cli.drive import main as drive_main
+    from latentpose_tpu.cli.train import main as train_main
+
+    common = [
+        "--embedder", "simple_conv",
+        "--generator", "vector_pose_unsupervised_segmentation_noBottleneck",
+        "--discriminator", "no_landmarks",
+        "--runner", "holycow",
+        "--image_size", "32", "--num_channels", "8",
+        "--max_num_channels", "32", "--embed_channels", "32",
+        "--pose_embedding_size", "16", "--dis_num_blocks", "4",
+        "--dataloader", "synthetic",
+        "--criterions", "adversarial, featmat, dice", "--metrics", "",
+        "--log_frequency_images", "9999",
+        "--log_frequency_fixed_images", "9999",
+        "--experiments_dir", str(tmp_path),
+    ]
+    train_main(common + [
+        "--finetune", "--batch_size", "2", "--num_epochs", "1",
+        "--num_devices", "1", "--experiment_name", "q",
+    ])
+    ckpts = sorted((tmp_path / "q" / "checkpoints").iterdir())
+    assert ckpts
+
+    def drive(dest, *extra):
+        return drive_main([
+            str(ckpts[-1]), "--images_paths", "synthetic://1",
+            "--destination", str(tmp_path / dest),
+            "--drive_batch_size", "8", "--compute_dtype", "float32",
+            *extra])
+
+    out_exact = Path(drive("exact")[0])
+    out_q = Path(drive("int8", "--quantize", "int8")[0])
+    assert out_exact.exists() and out_q.exists()
+
+    import cv2
+    caps = [cv2.VideoCapture(str(p)) for p in (out_exact, out_q)]
+    ok0, f0 = caps[0].read()
+    ok1, f1 = caps[1].read()
+    for c in caps:
+        c.release()
+    assert ok0 and ok1
+    mse = np.mean((f0.astype(np.float32) - f1.astype(np.float32)) ** 2)
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+    assert psnr > 28.0, f"int8 drive too far from exact: {psnr:.1f} dB"

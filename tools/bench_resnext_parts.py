@@ -51,12 +51,12 @@ def main():
         @jax.jit
         def run(*xs):
             def body(i, carry):
-                out = fn(xs[0] + carry * 0.0, *xs[1:])
+                out = fn(xs[0] + carry.astype(xs[0].dtype), *xs[1:])
                 leaf = jax.tree_util.tree_leaves(out)[0]
-                return jnp.sum(leaf.ravel()[:8].astype(jnp.float32)
-                               ).astype(xs[0].dtype)
-            return jax.lax.fori_loop(0, CHAIN, body,
-                                     jnp.zeros((), xs[0].dtype))
+                # max-|.| full reduce: not linearly separable, so XLA can
+                # neither slice through convs (DCE) nor hoist the body
+                return jnp.max(jnp.abs(leaf.astype(jnp.float32))) * 1e-30
+            return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0))
         return timeit(lambda: run(*example), iters=cli.iters)
 
     results = {}
@@ -126,11 +126,14 @@ def main():
     results["FULL tower fwd (train)"] = chain(fwd, x0)
 
     def fwd_bwd(x):
+        # nonlinear loss + a grad leaf that depends on the whole graph —
+        # grad(sum(out)) wrt the final bias is constant ones and lets XLA
+        # eliminate the entire backward pass
         def loss(p):
             out, _ = rx.apply({**rx_vars, "params": p}, x, train=True,
                               mutable=["batch_stats"])
-            return jnp.sum(out.astype(jnp.float32))
-        return jax.grad(loss)(rx_vars["params"])["fc"]["bias"]
+            return jnp.sum(jnp.square(out.astype(jnp.float32)))
+        return jax.grad(loss)(rx_vars["params"])["conv1"]["kernel"]
     results["FULL tower fwd+bwd"] = chain(fwd_bwd, x0)
 
     print(f"frames={n} bf16 train-mode BN; ms per op (chained x{CHAIN}):")

@@ -48,10 +48,12 @@ def main():
         @jax.jit
         def run(*xs):
             def body(i, carry):
-                out = fn(xs[0] + carry * 0.0, *xs[1:])
-                return jnp.sum(jax.tree_util.tree_leaves(out)[0].ravel()
-                               [:8]).astype(xs[0].dtype)
-            return jax.lax.fori_loop(0, CHAIN, body, jnp.zeros((), xs[0].dtype))
+                out = fn(xs[0] + carry.astype(xs[0].dtype), *xs[1:])
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                # max-|.| full reduce: not linearly separable, so XLA can
+                # neither slice through convs (DCE) nor hoist the body
+                return jnp.max(jnp.abs(leaf.astype(jnp.float32))) * 1e-30
+            return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0))
         return timeit(lambda: run(*example), iters=cli.iters)
 
     results = {}
@@ -66,10 +68,13 @@ def main():
         lambda x: rx.apply(rx_vars, x, train=False), x64)
 
     def rx_loss(x):
+        # squared loss + conv1-kernel grad leaf: grad(sum) wrt the final
+        # bias is constant and XLA would eliminate the whole backward
         def loss(p):
-            return jnp.sum(rx.apply({**rx_vars, "params": p}, x,
-                                    train=False).astype(jnp.float32))
-        return jax.grad(loss)(rx_vars["params"])["fc"]["bias"]
+            return jnp.sum(jnp.square(rx.apply(
+                {**rx_vars, "params": p}, x,
+                train=False).astype(jnp.float32)))
+        return jax.grad(loss)(rx_vars["params"])["conv1"]["kernel"]
     results["resnext_k8_fwd_bwd"] = chain(rx_loss, x64)
 
     # --- MobileNetV2 pose ---
