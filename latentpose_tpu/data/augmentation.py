@@ -338,3 +338,30 @@ def augment_triplet(key, driver, target, segm, use_pixelwise=False,
         target = apply_affine(target, ones, ones, tx, ty)
         segm = apply_affine(segm, ones, ones, tx, ty)
     return driver, target, segm
+
+
+def augment_data_dict(key, batch, use_pixelwise=False, use_scale=False,
+                      use_shift=False):
+    """Apply :func:`augment_triplet` to a collated train batch (the
+    driver/target/segm keys, each with a leading frame axis of 1).
+
+    Shared by the jitted train step (fresh key per step) and the fixed-id
+    probe evaluation, which passes a FIXED key — the reference re-seeds its
+    imgaug pipeline to 666 before every probe round so probes see the same
+    deterministic augmentations each time (``runners/holycow.py:344-387``).
+    """
+    if not (use_pixelwise or use_scale or use_shift):
+        return batch
+    if "target_rgbs" not in batch or "real_segm" not in batch \
+            or "pose_input_rgbs" not in batch:
+        return batch
+    driver = batch["pose_input_rgbs"][:, 0]
+    target = batch["target_rgbs"]
+    target = target[:, 0] if target.ndim > 4 else target
+    segm = batch["real_segm"]
+    segm = segm[:, 0] if segm.ndim > 4 else segm
+    driver, target, segm = augment_triplet(
+        key, driver, target, segm, use_pixelwise=use_pixelwise,
+        use_scale=use_scale, use_shift=use_shift)
+    return {**batch, "pose_input_rgbs": driver[:, None],
+            "target_rgbs": target[:, None], "real_segm": segm[:, None]}

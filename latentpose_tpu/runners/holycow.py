@@ -250,22 +250,9 @@ def make_train_step(models, criteria, args, opt_g, opt_d, donate=False):
         """On-device (driver, target, segm) augmentation — replaces the
         reference's host-side imgaug augment_triplet (see
         data/augmentation.py)."""
-        if not (use_pix or use_scale or use_shift):
-            return batch
-        if "target_rgbs" not in batch or "real_segm" not in batch:
-            return batch
-        from latentpose_tpu.data.augmentation import augment_triplet
-        driver = batch["pose_input_rgbs"][:, 0]
-        target = batch["target_rgbs"]
-        target = target[:, 0] if target.ndim > 4 else target
-        segm = batch["real_segm"]
-        segm = segm[:, 0] if segm.ndim > 4 else segm
-        driver, target, segm = augment_triplet(
-            key, driver, target, segm, use_pixelwise=use_pix,
-            use_scale=use_scale, use_shift=use_shift)
-        return {**batch, "pose_input_rgbs": driver[:, None],
-                "target_rgbs": target[:, None],
-                "real_segm": segm[:, None]}
+        from latentpose_tpu.data.augmentation import augment_data_dict
+        return augment_data_dict(key, batch, use_pixelwise=use_pix,
+                                 use_scale=use_scale, use_shift=use_shift)
 
     def loss_fn(trainable, params, batch_stats, spectral, batch, rng):
         full_params = merge_trainable(params, trainable["g"], trainable["d"])

@@ -104,6 +104,22 @@ def run_fixed_id_eval(dataloader, eval_forward, state, args, writer,
             chunk = ids[start:start + args.batch_size_inference]
             data, target = default_collate([dataset[i] for i in chunk])
             fixed = {**data, **target}
+            # seeded deterministic augmentations, as the reference applies
+            # to its fixed probes (imgaug re-seeded to 666 every round —
+            # reference holycow.py:349-356)
+            if getattr(args, "use_pixelwise_augs", False)                     or getattr(args, "use_affine_scale", False)                     or getattr(args, "use_affine_shift", False):
+                import jax as _jax
+
+                from latentpose_tpu.data.augmentation import                     augment_data_dict
+                fixed = {
+                    k: (np.asarray(v) if hasattr(v, "shape") else v)
+                    for k, v in augment_data_dict(
+                        _jax.random.PRNGKey(666), fixed,
+                        use_pixelwise=getattr(args, "use_pixelwise_augs",
+                                              False),
+                        use_scale=getattr(args, "use_affine_scale", False),
+                        use_shift=getattr(args, "use_affine_shift", False),
+                    ).items()}
             outputs = eval_forward(state, fixed)
             fixed.update({k: np.asarray(v) for k, v in outputs.items()})
             if start == 0 and writer is not None:
