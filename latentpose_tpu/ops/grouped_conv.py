@@ -29,7 +29,14 @@ import jax.numpy as jnp
 from jax import lax
 import flax.linen as nn
 
-# measured crossover: block-diagonal wins below 32 channels/group
+# Measured crossover: block-diagonal wins below 32 channels/group.
+# Re-validated END-TO-END at the meta-train scale (64 frames, full 6-loss
+# step, v5e): this all-dense-below-32 policy = 125.5 ms/step; flipping
+# stages 2-3 to native grouped = 127.8 (native fwd wins isolated — stage3
+# 0.109 vs 0.418 ms — but its backward lowering loses more); a custom_vjp
+# mixed policy (native fwd + dense bwd) = 132.6 (splitting directions
+# breaks XLA's fwd/bwd sharing).  Isolated op benches mislead here; only
+# the full-step number decides (tools/bench_step_ablation.py).
 BLOCKDIAG_MAX_CHANNELS_PER_GROUP = 16
 
 
