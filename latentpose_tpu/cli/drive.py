@@ -158,6 +158,8 @@ def inline_crop_frames(path, args):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
+    from latentpose_tpu.utils.compile_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     parser = build_core_parser()
     parser.add("--images_paths", type=str, nargs="+", default=[])
     parser.add("--destination", type=str, default="driving_results")

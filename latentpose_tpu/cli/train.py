@@ -34,6 +34,9 @@ def setup(args):
         level=logging.INFO,
         format=f"%(asctime)s %(levelname)s PID{os.getpid()} "
                "%(name)s: %(message)s")
+    from latentpose_tpu.utils.compile_cache import \
+        enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     np.random.seed(args.random_seed)
 
 
