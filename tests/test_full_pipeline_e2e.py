@@ -97,3 +97,16 @@ def test_meta_finetune_drive_lifecycle(tmp_path):
     assert f1.shape == f8.shape
     # mp4 is lossy; codec-level closeness is enough to catch sharding bugs
     assert np.abs(f1.astype(int) - f8.astype(int)).mean() < 2.0
+
+    # 5) int8 serving under the same 8-device mesh (quantization is pure
+    #    compute: same checkpoint, sharded batches, close output)
+    results8q = drive_main([
+        str(ft_ckpts[-1]),
+        "--images_paths", "synthetic://5",
+        "--destination", str(tmp_path / "driving8q"),
+        "--drive_batch_size", "8", "--num_devices", "8",
+        "--quantize", "int8",
+    ])
+    f8q = frames_of(results8q[0])
+    assert f8q.shape == f1.shape
+    assert np.abs(f1.astype(int) - f8q.astype(int)).mean() < 6.0
