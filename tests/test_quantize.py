@@ -118,3 +118,4 @@ def test_drive_cli_accepts_quantize_flag(tmp_path):
     mse = np.mean((f0.astype(np.float32) - f1.astype(np.float32)) ** 2)
     psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
     assert psnr > 28.0, f"int8 drive too far from exact: {psnr:.1f} dB"
+
