@@ -116,8 +116,9 @@ def main():
 
     n_chips = len(jax.devices())
     image_size = 256
-    batch = 128  # throughput saturates ~here on v5e (sweep: 64->923,
-    #              128->1190, 256->1197 fps/chip)
+    batch = 256  # post-decoder-optimization sweep on v5e (bf16:
+    #              128->1739, 192->1614, 256->1805 fps; int8: 128->2304,
+    #              256->2308) — 256 wins for bf16, flat for int8
 
     args = types.SimpleNamespace(
         image_size=image_size, in_channels=3, out_channels=3,
