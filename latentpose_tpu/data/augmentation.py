@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from latentpose_tpu.ops.image import grid_sample_bilinear
 
@@ -144,7 +145,9 @@ def emboss(key, images, max_strength=0.5):
     return _blend(_bernoulli(k_apply, b, _OP_P), jnp.clip(out, 0, 1), images)
 
 
-_JPEG_LUMA_Q = jnp.asarray([
+# numpy on purpose: module-level jnp constants become leaked tracers if
+# this module is first imported while a jit trace is active
+_JPEG_LUMA_Q = np.asarray([
     [16, 11, 10, 16, 24, 40, 51, 61],
     [12, 12, 14, 19, 26, 58, 60, 55],
     [14, 13, 16, 24, 40, 57, 69, 56],
@@ -152,8 +155,8 @@ _JPEG_LUMA_Q = jnp.asarray([
     [18, 22, 37, 56, 68, 109, 103, 77],
     [24, 35, 55, 64, 81, 104, 113, 92],
     [49, 64, 78, 87, 103, 121, 120, 101],
-    [72, 92, 95, 98, 112, 100, 103, 99]], jnp.float32)
-_JPEG_CHROMA_Q = jnp.asarray([
+    [72, 92, 95, 98, 112, 100, 103, 99]], np.float32)
+_JPEG_CHROMA_Q = np.asarray([
     [17, 18, 24, 47, 99, 99, 99, 99],
     [18, 21, 26, 66, 99, 99, 99, 99],
     [24, 26, 56, 99, 99, 99, 99, 99],
@@ -161,7 +164,7 @@ _JPEG_CHROMA_Q = jnp.asarray([
     [99, 99, 99, 99, 99, 99, 99, 99],
     [99, 99, 99, 99, 99, 99, 99, 99],
     [99, 99, 99, 99, 99, 99, 99, 99],
-    [99, 99, 99, 99, 99, 99, 99, 99]], jnp.float32)
+    [99, 99, 99, 99, 99, 99, 99, 99]], np.float32)
 
 
 def _dct8():

@@ -30,6 +30,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
+# imported at module scope: importing it inside the traced step would run
+# the module body under the trace (jax.errors.UnexpectedTracerError)
+from latentpose_tpu.data.augmentation import augment_data_dict
 from latentpose_tpu.runners.state import (TrainState, d_trainable,
                                           g_trainable, merge_trainable)
 
@@ -250,7 +253,6 @@ def make_train_step(models, criteria, args, opt_g, opt_d, donate=False):
         """On-device (driver, target, segm) augmentation — replaces the
         reference's host-side imgaug augment_triplet (see
         data/augmentation.py)."""
-        from latentpose_tpu.data.augmentation import augment_data_dict
         return augment_data_dict(key, batch, use_pixelwise=use_pix,
                                  use_scale=use_scale, use_shift=use_shift)
 
