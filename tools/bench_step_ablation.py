@@ -7,6 +7,14 @@ criterion stack (and a no-discriminator variant), so each subsystem's
 marginal in-context cost is the difference from the full step.
 
     python tools/bench_step_ablation.py
+
+Validation: the adversarial-only number reproduces at 97-104 ms/step in a
+100-iteration state-threaded run with advancing parameters (linear in n),
+which is also consistent with the physical floor implied by the tower's
+block-diagonal FLOPs.  (A few isolated re-runs have produced impossibly
+fast readings — below the MXU peak-throughput floor — through the remote
+execution path; treat any step time that beats the FLOP floor as a broken
+measurement and re-run with more iterations.)
 """
 
 from __future__ import annotations
