@@ -38,6 +38,9 @@ import flax.linen as nn
 # breaks XLA's fwd/bwd sharing).  Isolated op benches mislead here; only
 # the full-step number decides (tools/bench_step_ablation.py).
 BLOCKDIAG_MAX_CHANNELS_PER_GROUP = 16
+# coarse-group width for the block-diagonal form (one MXU lane tile);
+# set to a huge value to recover the full-dense expansion
+COARSE_GROUP_CHANNELS = 128
 
 
 def expand_blockdiag_kernel(kernel, groups):
@@ -50,6 +53,29 @@ def expand_blockdiag_kernel(kernel, groups):
     # dense[h, w, g_in, c, g_out, o] = wk[h, w, c, g_out, o] * eye[g_in, g_out]
     dense = wk[:, :, None, :, :, :] * eye[None, None, :, None, :, None]
     return dense.reshape(kh, kw, groups * cg, c_out)
+
+
+def expand_coarse_blockdiag_kernel(kernel, groups, fine_per_coarse):
+    """Coalesce ``fine_per_coarse`` adjacent fine groups into one coarse
+    group: (kh, kw, Cg, C_out) grouped kernel -> (kh, kw, f*Cg, C_out)
+    kernel for ``feature_group_count = groups // f``, each coarse block a
+    block-diagonal of its f fine blocks.
+
+    Padding FLOPs scale with f*Cg instead of C_in — e.g. ResNeXt layer3
+    (Cg=16, G=32, C=512) at f=8 pays 8x the grouped FLOPs instead of the
+    full-dense 32x, while the MXU still sees f*Cg = 128 lanes.
+    """
+    kh, kw, cg, c_out = kernel.shape
+    f = fine_per_coarse
+    gc = groups // f                       # coarse groups
+    co = c_out // groups
+    # fine group g = g_coarse * f + fo (contiguous in and out)
+    wk = kernel.reshape(kh, kw, cg, gc, f, co)
+    eye = jnp.eye(f, dtype=kernel.dtype)
+    # K[h, w, fi, c, g', fo, o] = wk[h, w, c, g', fo, o] * eye[fi, fo]
+    K = wk[:, :, None, :, :, :, :] \
+        * eye[None, None, :, None, None, :, None]
+    return K.reshape(kh, kw, f * cg, c_out)
 
 
 class GroupedConv(nn.Module):
@@ -87,9 +113,21 @@ class GroupedConv(nn.Module):
         dn = lax.conv_dimension_numbers(x.shape, kernel.shape,
                                         ("NHWC", "HWIO", "NHWC"))
         if cg <= BLOCKDIAG_MAX_CHANNELS_PER_GROUP and self.groups > 1:
-            dense = expand_blockdiag_kernel(kernel, self.groups)
-            y = lax.conv_general_dilated(x, dense, self.strides, pad,
-                                         dimension_numbers=dn)
+            # coarse-grouped block-diagonal: 128-channel coarse groups keep
+            # the MXU lanes full while paying (128/Cg)x padding FLOPs
+            # instead of full-dense Gx (see expand_coarse_blockdiag_kernel)
+            f = min(self.groups, max(1, COARSE_GROUP_CHANNELS // cg))
+            gc = self.groups // f
+            if gc > 1 and self.groups % f == 0:
+                coarse = expand_coarse_blockdiag_kernel(kernel, self.groups,
+                                                        f)
+                y = lax.conv_general_dilated(x, coarse, self.strides, pad,
+                                             dimension_numbers=dn,
+                                             feature_group_count=gc)
+            else:
+                dense = expand_blockdiag_kernel(kernel, self.groups)
+                y = lax.conv_general_dilated(x, dense, self.strides, pad,
+                                             dimension_numbers=dn)
         else:
             y = lax.conv_general_dilated(x, kernel, self.strides, pad,
                                          dimension_numbers=dn,
