@@ -28,9 +28,11 @@ import numpy as np
 R1_TRAIN_STEP_MS = 149.0  # round-1 measured baseline (STATUS r1)
 
 
-def bench_train_step():
+def bench_train_step(with_augs=True):
     """Full meta-train step: both optimizers, EMA, spectral state, 6 losses,
-    K=8 identity frames at 256², global batch 8, bf16 compute."""
+    K=8 identity frames at 256², global batch 8, bf16 compute.  With
+    ``with_augs`` (the default, matching reference configs/default.yaml:32-34)
+    the on-device augmentation pass is included in the step."""
     import jax
     import types
 
@@ -57,7 +59,12 @@ def bench_train_step():
         random_seed=0, gan_type="gan", fm_weight=10.0, dice_weight=1.0,
         perc_weight=3e-2, idt_embed_weight=0.6e-2, dis_embed_weight=1e-2,
         vgg_weights_dir="", allow_random_vgg=True,
-        compute_dtype="bfloat16")
+        compute_dtype="bfloat16",
+        # reference-parity default: flagship meta-training augments on
+        # (configs/default.yaml — use_pixelwise_augs/use_affine_scale/
+        # use_affine_shift all True); augs run inside the jitted step
+        use_pixelwise_augs=with_augs, use_affine_scale=with_augs,
+        use_affine_shift=with_augs)
 
     models = {"embedder": emb_mod.Wrapper.get_net(args),
               "generator": gen_mod.Wrapper.get_net(args),
@@ -96,7 +103,7 @@ def bench_train_step():
     jax.block_until_ready(state.params)
     ms = (time.perf_counter() - start) / n_iters * 1e3
     print(json.dumps({
-        "metric": "train_step_ms_256",
+        "metric": "train_step_ms_256" + ("" if with_augs else "_noaugs"),
         "value": round(ms, 1),
         "unit": "ms/step",
         "vs_baseline": round(R1_TRAIN_STEP_MS / ms, 3),
@@ -202,7 +209,8 @@ def main():
 
 if __name__ == "__main__":
     try:
-        bench_train_step()
+        bench_train_step(with_augs=True)   # reference-parity headline
+        bench_train_step(with_augs=False)  # ablation: augmentation cost
     except Exception as exc:  # train bench must never mask the headline
         print(f"train_step bench failed: {exc}", file=sys.stderr)
     sys.exit(0 if main() > 0 else 1)

@@ -30,6 +30,12 @@ def instance_norm(x, eps: float = 1e-4):
     (tools/bench_up256_variants.py).  For unit-scale GAN activations in
     float32 accumulation the cancellation error is ~1e-6 relative — far
     inside the golden-parity tolerances.
+
+    Input-scale assumption: the one-pass form loses precision when
+    |mean| >> std (catastrophic cancellation in E[x²] − E[x]²).  All
+    in-tree callers feed unit-scale activations; a future caller with
+    large-mean/small-variance tensors should center first
+    (``x - x.mean()``) or use a two-pass variance.
     """
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)

@@ -106,15 +106,22 @@ def run_fixed_id_eval(dataloader, eval_forward, state, args, writer,
             fixed = {**data, **target}
             # seeded deterministic augmentations, as the reference applies
             # to its fixed probes (imgaug re-seeded to 666 every round —
-            # reference holycow.py:349-356)
-            if getattr(args, "use_pixelwise_augs", False)                     or getattr(args, "use_affine_scale", False)                     or getattr(args, "use_affine_shift", False):
+            # reference holycow.py:349-356).  The key is folded with the
+            # chunk start so each probe chunk draws distinct (but
+            # round-stable) augmentations, like the reference's advancing
+            # imgaug RNG state.
+            if (getattr(args, "use_pixelwise_augs", False)
+                    or getattr(args, "use_affine_scale", False)
+                    or getattr(args, "use_affine_shift", False)):
                 import jax as _jax
 
-                from latentpose_tpu.data.augmentation import                     augment_data_dict
+                from latentpose_tpu.data.augmentation import (
+                    augment_data_dict)
                 fixed = {
                     k: (np.asarray(v) if hasattr(v, "shape") else v)
                     for k, v in augment_data_dict(
-                        _jax.random.PRNGKey(666), fixed,
+                        _jax.random.fold_in(_jax.random.PRNGKey(666), start),
+                        fixed,
                         use_pixelwise=getattr(args, "use_pixelwise_augs",
                                               False),
                         use_scale=getattr(args, "use_affine_scale", False),

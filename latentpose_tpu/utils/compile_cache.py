@@ -32,6 +32,17 @@ def enable_persistent_compilation_cache() -> None:
     try:
         import jax
 
+        if jax.default_backend() == "cpu":
+            # XLA:CPU persists AOT results whose recorded machine features
+            # (incl. pseudo-features like +prefer-no-gather) fail the
+            # load-time host check on this fleet — every lookup then logs a
+            # cpu_aot_loader error and recompiles anyway.  Measured: a warm
+            # flagship dryrun with the cache was SLOWER than cold.  The
+            # cache stays TPU-only.
+            logger.info("compilation cache disabled on the CPU backend "
+                        "(XLA:CPU AOT machine-feature check is unreliable)")
+            return
+
         Path(target).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", target)
         # cache anything that took meaningful compile time

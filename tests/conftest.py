@@ -28,3 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# NOTE: no persistent compilation cache here — XLA:CPU's AOT cache fails
+# its load-time machine-feature check on this fleet (cpu_aot_loader errors,
+# then recompiles anyway); utils/compile_cache.py gates it to TPU backends.

@@ -14,6 +14,9 @@ from latentpose_tpu.ops.grouped_conv import (GroupedConv,
 
 @pytest.mark.parametrize("cg,groups,stride", [
     (4, 32, 1), (8, 8, 2), (16, 4, 1), (32, 4, 1),  # last: native path
+    # coarse block-diagonal path (gc > 1) — the production ResNeXt layer2/3
+    # shapes (cg=8/16, groups=32 -> f=16/8, gc=2/4): ADVICE r2 coverage gap
+    (8, 32, 1), (16, 32, 2),
 ])
 def test_grouped_conv_matches_nn_conv(cg, groups, stride):
     c_in = cg * groups

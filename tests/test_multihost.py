@@ -21,7 +21,8 @@ WORKER = textwrap.dedent("""
     proc_id = int(sys.argv[1]); ckpt_dir = sys.argv[2]
     port = sys.argv[3]
     jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                               num_processes=2, process_id=proc_id)
+                               num_processes=2, process_id=proc_id,
+                               initialization_timeout=600)
     assert jax.process_count() == 2 and len(jax.devices()) == 4
 
     import types
@@ -85,6 +86,9 @@ WORKER = textwrap.dedent("""
     path = ckpt_lib.save_checkpoint(ckpt_dir, new_state, args)
     print(json.dumps({"proc": proc_id, "loss_G": loss_G,
                       "wrote_ckpt": path is not None}), flush=True)
+    # leave the coordination service cleanly: an abrupt exit while the
+    # peer is still inside a barrier is what produced the flaked attempts
+    jax.distributed.shutdown()
 """)
 
 
