@@ -99,6 +99,64 @@ def render_face(label: int, frame: int, image_size: int):
     return img, head[..., None]
 
 
+class _SyntheticSampleLoader:
+    """Minimal ``SampleLoader`` stand-in so the fixed-probe path
+    (``runners/loop.py:run_fixed_id_eval``) can toggle deterministic frame
+    sampling exactly as it does for the VoxCeleb datasets."""
+
+    def __init__(self):
+        self.deterministic = False
+
+
+class SyntheticDataset:
+    """Index-based view over the synthetic identities, implementing the
+    dataset surface the epoch loop's visual/probe machinery uses
+    (``VoxCeleb2DatasetBase`` parity): ``__getitem__`` -> single-sample
+    (data_dict, target_dict), ``get_other_sample_by_label`` for
+    cross-driving grids (reference ``holycow.py:266-342``)."""
+
+    def __init__(self, image_size, num_labels, num_enc_frames,
+                 frames_per_video, inference=False):
+        self.image_size = image_size
+        self.num_labels = num_labels
+        self.num_enc_frames = num_enc_frames
+        self.frames_per_video = frames_per_video
+        self.inference = inference
+        self.loader = _SyntheticSampleLoader()
+
+    def __len__(self):
+        return self.num_labels
+
+    def __getitem__(self, label):
+        rng = (np.random.RandomState(666 + label)
+               if self.loader.deterministic else np.random)
+        frames = rng.randint(0, self.frames_per_video,
+                             size=self.num_enc_frames + 1)
+        enc = np.stack([render_face(label, f, self.image_size)[0]
+                        for f in frames[:-1]]).astype(np.float32)
+        driver, segm = render_face(label, int(frames[-1]), self.image_size)
+        data_dict = {"enc_rgbs": enc,
+                     "pose_input_rgbs": driver[None].astype(np.float32)}
+        target_dict = {"label": int(label)}
+        if not self.inference:
+            data_dict["target_rgbs"] = \
+                (driver * segm)[None].astype(np.float32)
+            target_dict["real_segm"] = segm[None].astype(np.float32)
+        return data_dict, target_dict
+
+    def get_other_sample_by_label(self, label, same_identity=False,
+                                  deterministic=True):
+        # each synthetic label is its own identity with one "video":
+        # same-identity driving re-samples the same label (frames differ);
+        # other-person driving picks the next identity
+        if same_identity:
+            return int(label)
+        if deterministic:
+            return (int(label) + 1) % self.num_labels
+        other = int(np.random.randint(self.num_labels))
+        return other if other != label else (other + 1) % self.num_labels
+
+
 class SyntheticDataLoader:
     """Iterable of (data_dict, target_dict) numpy batches.
 
@@ -126,6 +184,11 @@ class SyntheticDataLoader:
         # discriminator label-matrix height (1 when fine-tuning, reference
         # voxceleb.py:83-99)
         self.num_labels = 1 if finetune else num_labels
+        # index-based view for fixed probes + cross-driving visuals
+        # (meta mode only; the fine-tune loop never cross-drives)
+        self.dataset = None if finetune else SyntheticDataset(
+            image_size, self.num_labels, num_enc_frames, frames_per_video,
+            inference=inference)
 
     def __len__(self):
         return self.steps_per_epoch

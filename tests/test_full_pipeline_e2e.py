@@ -109,4 +109,8 @@ def test_meta_finetune_drive_lifecycle(tmp_path):
     ])
     f8q = frames_of(results8q[0])
     assert f8q.shape == f1.shape
-    assert np.abs(f1.astype(int) - f8q.astype(int)).mean() < 6.0
+    # codec noise alone measures <2.0 (exact-path assert above); int8 at the
+    # measured 46-50 dB adds ~1 LSB — gate at 4.0 so a quality regression to
+    # ~28 dB (mean-abs ~10) fails CI (VERDICT r2 Weak #3)
+    diff_q = np.abs(f1.astype(int) - f8q.astype(int)).mean()
+    assert diff_q < 4.0, f"int8 drive diverged from exact: {diff_q:.2f}"

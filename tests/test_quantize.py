@@ -63,7 +63,10 @@ def test_quantized_generator_output_close_to_exact():
 
     mse = float(jnp.mean(jnp.square(rgb - rgb_q)))
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
-    assert psnr > 30.0, f"quantized PSNR too low: {psnr:.1f} dB"
+    # measured 48.6 dB at these shapes (46-48 dB at flagship 256²,
+    # tools/check_int8_quality.py) — gate close to the real margin so a
+    # regression to "still-looks-ok" 30 dB fails CI (VERDICT r2 Weak #3)
+    assert psnr > 40.0, f"quantized PSNR too low: {psnr:.1f} dB"
     assert float(jnp.max(jnp.abs(segm - segm_q))) < 0.2
 
 
@@ -117,5 +120,6 @@ def test_drive_cli_accepts_quantize_flag(tmp_path):
     assert ok0 and ok1
     mse = np.mean((f0.astype(np.float32) - f1.astype(np.float32)) ** 2)
     psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
-    assert psnr > 28.0, f"int8 drive too far from exact: {psnr:.1f} dB"
+    # measured 50.7 dB here; gate near the margin (VERDICT r2 Weak #3)
+    assert psnr > 40.0, f"int8 drive too far from exact: {psnr:.1f} dB"
 
