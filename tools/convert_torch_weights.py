@@ -175,10 +175,25 @@ def convert_resblock(sd, prefix, normalize, upsample, downsample):
 # Flagship generator (vector_pose_unsupervised_segmentation_noBottleneck)
 # --------------------------------------------------------------------------
 
-def convert_flagship_generator(sd, prefix="", num_blocks=8,
+def _infer_module_count(sd, prefix, fmt):
+    """Highest consecutive index i for which any ``fmt.format(i)``-prefixed
+    key exists (e.g. decoder_blocks.{i} / blocks.{i})."""
+    n = 0
+    while any(k.startswith(prefix + fmt.format(n)) for k in sd):
+        n += 1
+    return n
+
+
+def convert_flagship_generator(sd, prefix="", num_blocks=None,
                                num_residual=2):
     params, spectral = {}, {}
     pf = prefix
+    if num_blocks is None:
+        # decoder_blocks = num_blocks ResBlocks, then [AdaIN, ReLU, head
+        # conv]; AdaIN/ReLU are paramless, so the consecutive key scan
+        # stops exactly at num_blocks — infer it so 64²-ablation
+        # checkpoints (4 up blocks) convert too
+        num_blocks = _infer_module_count(sd, pf, "decoder_blocks.{}.")
 
     params["constant"] = np.transpose(sd[pf + "constant.constant"],
                                       (0, 2, 3, 1))
@@ -208,9 +223,11 @@ def convert_flagship_generator(sd, prefix="", num_blocks=8,
 # Flagship discriminator (no_landmarks)
 # --------------------------------------------------------------------------
 
-def convert_flagship_discriminator(sd, prefix="", num_blocks=6):
+def convert_flagship_discriminator(sd, prefix="", num_blocks=None):
     params, spectral = {}, {}
     pf = prefix
+    if num_blocks is None:
+        num_blocks = _infer_module_count(sd, pf, "blocks.{}.")
     for ours, theirs in (("stem_conv0", "down_block.0"),
                          ("stem_conv1", "down_block.2"),
                          ("stem_skip", "skip.0")):
