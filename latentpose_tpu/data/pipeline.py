@@ -91,26 +91,49 @@ class BatchLoader:
 
         out_queue: "queue.Queue" = queue.Queue(self.prefetch_batches)
         sentinel = object()
+        stop = threading.Event()
+
+        def put(item):
+            # bounded put that gives up when the consumer is gone, so an
+            # abandoned iterator doesn't leave the producer blocked (and
+            # still touching dataset files during caller teardown)
+            while not stop.is_set():
+                try:
+                    out_queue.put(item, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
 
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for batch_idx in batches:
+                        if stop.is_set():
+                            return
                         samples = list(pool.map(
                             self.dataset.__getitem__, batch_idx))
-                        out_queue.put(default_collate(samples))
+                        put(default_collate(samples))
             except BaseException as exc:  # propagate into the consumer
-                out_queue.put(exc)
+                put(exc)
             finally:
-                out_queue.put(sentinel)
+                put(sentinel)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
-        while True:
-            item = out_queue.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = out_queue.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so a producer blocked on a full queue can finish
+            try:
+                while True:
+                    out_queue.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join()

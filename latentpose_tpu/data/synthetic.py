@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from latentpose_tpu.data import augmentation
+
 
 class Wrapper:
     @staticmethod
@@ -28,6 +30,10 @@ class Wrapper:
                         "9 frames: 8 enc + 1 driver)")
         parser.add("--synthetic_num_labels", type=int, default=16)
         parser.add("--synthetic_frames_per_video", type=int, default=32)
+        # augmentation runs inside the jitted step (runners/holycow.py), so
+        # the synthetic loader supports the same flags as the VoxCeleb ones
+        # (needed to rehearse reference-parity meta-training hermetically)
+        augmentation.get_args(parser)
 
     @staticmethod
     def get_dataloader(args, part, phase="train"):

@@ -31,3 +31,37 @@ def test_adain_fused_matches_xla(shape, relu, monkeypatch):
         got = mod.adain_fused(x, weight, bias, relu=relu)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("relu", [False, True])
+@pytest.mark.parametrize("shape,cout", [((2, 8, 8, 256), 128),
+                                        ((1, 16, 16, 128), 256)])
+def test_bn_relu_conv1x1_stats_matches_xla(shape, cout, relu):
+    """Fused BN-apply -> ReLU -> 1x1 conv -> next-BN-stats probe kernel
+    (ops/pallas/conv_bn_fused.py) against the unfused XLA math."""
+    from jax.experimental.pallas import tpu as pltpu
+    from latentpose_tpu.ops.pallas.conv_bn_fused import (
+        bn_relu_conv1x1_stats, fold_bn)
+
+    cin = shape[-1]
+    x = jax.random.normal(jax.random.PRNGKey(0), shape) * 2 + 0.5
+    w = jax.random.normal(jax.random.PRNGKey(1), (cin, cout)) * 0.06
+    mean = jnp.full((cin,), 0.5)
+    var = jnp.full((cin,), 4.0)
+    gamma = jnp.full((cin,), 1.1)
+    beta = jnp.full((cin,), 0.1)
+    scale, offset = fold_bn(mean, var, gamma, beta)
+
+    h = (x - mean) * gamma * jax.lax.rsqrt(var + 1e-5) + beta
+    if relu:
+        h = jnp.maximum(h, 0.0)
+    ref = jnp.einsum("bhwc,cd->bhwd", h, w)
+    ref_stats = jnp.stack([ref.sum((0, 1, 2)), (ref * ref).sum((0, 1, 2))])
+
+    with pltpu.force_tpu_interpret_mode():
+        y, stats = bn_relu_conv1x1_stats(x, scale, offset, w, relu=relu,
+                                         m_tile=32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(stats), np.asarray(ref_stats),
+                               rtol=2e-4, atol=2e-4)
