@@ -240,23 +240,57 @@ def jpeg_artifacts(key, images):
     return _blend(_bernoulli(k_apply, b, _OP_P), out, images)
 
 
+def displace_axis_bilinear(images, disp, axis, max_disp):
+    """Bounded-displacement bilinear warp along ONE spatial axis as a
+    (2*max_disp+1)-term shifted weighted sum — no gathers.
+
+    On TPU a per-pixel gather over a channels-minor image is serial scalar
+    work: the gather-based elastic measured 21.7 ms of the train step's
+    ~20 ms augmentation pass at batch 8, 256² while every other op is
+    ~0.5 ms (tools/bench_augmentation.py).  Because |disp| <= max_disp, the
+    bilinear sample at x+disp touches only integer offsets d in
+    [-max_disp, max_disp], and its weight relu(1 - |disp - d|) is exactly
+    the bilinear hat — so the warp is a short sum of aligned shifted
+    copies, pure VPU sweeps.
+
+    images: (B, H, W, C); disp: (B, H, W) in pixels; axis: 1 (H) or 2 (W).
+    Border: edge clamp.
+    """
+    out = jnp.zeros_like(images)
+    pad = [(0, 0)] * 4
+    pad[axis] = (max_disp, max_disp)
+    xp = jnp.pad(images, pad, mode="edge")
+    n = images.shape[axis]
+    for d in range(-max_disp, max_disp + 1):
+        wgt = jnp.maximum(1.0 - jnp.abs(disp - d), 0.0)
+        sl = [slice(None)] * 4
+        sl[axis] = slice(max_disp + d, max_disp + d + n)
+        out = out + wgt[..., None] * xp[tuple(sl)]
+    return out
+
+
 def elastic(key, images, alpha_range=(0.5, 3.5)):
     """sometimes(iaa.ElasticTransformation(alpha=(0.5, 3.5), sigma=0.15))
     (reference ``:76``): per-pixel displacement field ~ U(-1,1) * alpha
     pixels.  sigma=0.15 makes imgaug's gaussian smoothing of the field a
     near-identity, so the raw field is used.  `sometimes` halves the
-    application probability on top of the pool coin."""
+    application probability on top of the pool coin.
+
+    Applied as two sequential single-axis bounded warps (x then y) instead
+    of one joint 2-D bilinear sample: same distribution family (independent
+    per-pixel displacements <= alpha in each axis, bilinear interpolation),
+    and each axis is gather-free (see :func:`displace_axis_bilinear`; for a
+    single-axis field the two forms are bit-identical in the interior —
+    tested)."""
     k_apply, k_alpha, k_d = jax.random.split(key, 3)
     b, h, w, _ = images.shape
     alpha = jax.random.uniform(k_alpha, (b, 1, 1),
                                minval=alpha_range[0], maxval=alpha_range[1])
-    disp = jax.random.uniform(k_d, (b, h, w, 2), minval=-1.0, maxval=1.0)
-    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0
-    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
-    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    grid_x = gx[None] + disp[..., 0] * alpha * 2.0 / w
-    grid_y = gy[None] + disp[..., 1] * alpha * 2.0 / h
-    out = grid_sample_bilinear(images, grid_x, grid_y)
+    disp = jax.random.uniform(k_d, (b, h, w, 2), minval=-1.0,
+                              maxval=1.0) * alpha[..., None]
+    max_disp = int(np.ceil(alpha_range[1]))
+    out = displace_axis_bilinear(images, disp[..., 0], 2, max_disp)
+    out = displace_axis_bilinear(out, disp[..., 1], 1, max_disp)
     return _blend(_bernoulli(k_apply, b, _OP_P * 0.5), out, images)
 
 

@@ -209,6 +209,42 @@ def test_elastic_local_displacement():
     assert changed.any() and (~changed).any()  # p=0.125 coin
 
 
+def test_displace_axis_matches_gather_bilinear():
+    """The gather-free shifted-sum warp (displace_axis_bilinear) must equal
+    the gather-based grid_sample_bilinear for a single-axis displacement
+    field, away from the border (edge-clamp vs reflection differ only
+    within max_disp of the edge)."""
+    import jax
+    import jax.numpy as jnp
+    from latentpose_tpu.data.augmentation import displace_axis_bilinear
+    from latentpose_tpu.ops.image import grid_sample_bilinear
+
+    key = jax.random.PRNGKey(3)
+    b, h, w = 2, 24, 24
+    imgs = jax.random.uniform(key, (b, h, w, 3))
+    disp = (jax.random.uniform(jax.random.PRNGKey(4), (b, h, w)) * 2.0
+            - 1.0) * 3.5  # pixels, |d| <= 3.5
+
+    got = displace_axis_bilinear(imgs, disp, axis=2, max_disp=4)
+
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    ref = grid_sample_bilinear(imgs, gx[None] + disp * 2.0 / w,
+                               jnp.broadcast_to(gy[None], disp.shape))
+
+    m = 4  # interior only
+    np.testing.assert_allclose(np.asarray(got)[:, m:-m, m:-m],
+                               np.asarray(ref)[:, m:-m, m:-m],
+                               rtol=1e-5, atol=1e-5)
+
+    # weights partition unity: zero displacement is the identity
+    ident = displace_axis_bilinear(imgs, jnp.zeros((b, h, w)), axis=1,
+                                   max_disp=4)
+    np.testing.assert_allclose(np.asarray(ident), np.asarray(imgs),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_pixelwise_pool_is_complete():
     """Reference SomeOf pool families (augmentation.py:44-82): blur,
     sharpen, emboss, noise, add, saturation, jpeg, multiply, contrast,

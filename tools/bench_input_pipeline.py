@@ -104,6 +104,25 @@ def main(argv=None):
         use_pixelwise_augs=False, use_affine_scale=False,
         use_affine_shift=False)
 
+    # --- attribution row: the bare C++ decode+crop+resize path -----------
+    # (same jpgs, bypassing Python dataset assembly / segm / collate) so
+    # the gap between "what the C++ pool can do" and "what the full loader
+    # delivers" is visible per host core.
+    jpgs = sorted((root / "images-cropped").rglob("*.jpg"))[:256]
+    native_fps = None
+    if native_loader.is_available():
+        nl = native_loader.NativeBatchLoader()
+        paths = [str(p) for p in jpgs]
+        bbs = np.tile(np.asarray([[0.2, 0.2, 0.7, 0.7]], np.float64),
+                      (len(paths), 1))
+        has = np.ones((len(paths),), np.uint8)
+        nl.load_cropped(paths, bbs, has, ns.image_size)  # warm file cache
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            nl.load_cropped(paths, bbs, has, ns.image_size)
+        native_fps = len(paths) * reps / (time.perf_counter() - t0)
+
     loader = Wrapper.get_dataloader(args, part="train", phase="train")
     frames_per_sample = args.n_frames_for_encoder + 1  # 8 enc + 1 driver
 
@@ -137,6 +156,9 @@ def main(argv=None):
         "needed_frames_per_s_at_step_ms": round(need, 1),
         "step_ms": ns.step_ms,
         "headroom_x": round(fps / need, 2),
+        "native_decode_crop_only_fps": (round(native_fps, 1)
+                                        if native_fps else None),
+        "host_cores_needed_at_measured_rate": round(need / fps * ncpu, 1),
     }
     print(json.dumps(result))
     if not ns.keep:
