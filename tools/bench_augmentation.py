@@ -8,7 +8,10 @@ attributes the cost per op with the repo-standard DCE-proof methodology
 (chained-in-jit, max-|.|-full-reduce carry) so the hot ops can be attacked
 individually and the fix verified in the full step afterwards.
 
-    python tools/bench_augmentation.py [--batch 8] [--res 256]
+    python tools/bench_augmentation.py [--batch 8] [--res 256] [--only blur]
+
+NOTE: every row compiles its own fori_loop chain, ~60-90 s each over the
+axon tunnel — a full run is ~15-20 min.  Use --only to bisect one op.
 
 Reference counterpart: the imgaug CPU pipeline this pass replaces
 (``/root/reference/dataloaders/common/augmentation.py:44-142``).
@@ -38,6 +41,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--only", default="",
+                    help="substring filter on row names (compile is "
+                         "~60-90 s per row over the axon tunnel)")
     cli = ap.parse_args()
 
     b, r = cli.batch, cli.res
@@ -62,24 +68,23 @@ def main():
         out.block_until_ready()
         return (time.perf_counter() - start) / cli.iters / CHAIN * 1e3
 
-    rows = {}
-    for op in aug.PIXELWISE_OPS:
-        rows[op.__name__] = timeit(op, img)
-
-    rows["affine_scale(driver)"] = timeit(
-        lambda k, x: aug.augment_triplet(k, x, img, segm, use_scale=True)[0],
-        img)
-    rows["affine_shift(triplet)"] = timeit(
-        lambda k, x: aug.augment_triplet(k, x, img, segm, use_shift=True)[0],
-        img)
-    rows["pixelwise_all"] = timeit(aug.pixelwise_augment, img)
-    rows["full_triplet"] = timeit(
-        lambda k, x: aug.augment_triplet(k, x, img, segm, use_pixelwise=True,
-                                         use_scale=True, use_shift=True)[0],
-        img)
-
-    for name, ms in rows.items():
-        print(json.dumps({"op": name, "ms": round(ms, 3)}))
+    rows = [(op.__name__, partial(timeit, op, img))
+            for op in aug.PIXELWISE_OPS]
+    rows += [
+        ("affine_scale(driver)", partial(timeit, lambda k, x:
+         aug.augment_triplet(k, x, img, segm, use_scale=True)[0], img)),
+        ("affine_shift(triplet)", partial(timeit, lambda k, x:
+         aug.augment_triplet(k, x, img, segm, use_shift=True)[0], img)),
+        ("pixelwise_all", partial(timeit, aug.pixelwise_augment, img)),
+        ("full_triplet", partial(timeit, lambda k, x:
+         aug.augment_triplet(k, x, img, segm, use_pixelwise=True,
+                             use_scale=True, use_shift=True)[0], img)),
+    ]
+    for name, run in rows:
+        if cli.only and cli.only not in name:
+            continue
+        print(json.dumps({"op": name, "ms": round(run(), 3)}))
+        sys.stdout.flush()
     floor_ms = (b * r * r * 3 * 4 * 2) / 800e9 * 1e3
     print(json.dumps({"op": "bandwidth_floor_per_sweep",
                       "ms": round(floor_ms, 4)}))

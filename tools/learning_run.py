@@ -69,6 +69,10 @@ def main(argv=None):
                          "for 1-2M iterations; a short run needs more)")
     ap.add_argument("--lr_dis", type=float, default=4e-4)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse an existing --out/meta checkpoint instead "
+                         "of re-running meta-training (recovery from a "
+                         "transient tunnel failure in a later phase)")
     ns = ap.parse_args(argv)
 
     if ns.cpu:
@@ -79,9 +83,14 @@ def main(argv=None):
     from latentpose_tpu.cli.train import main as train_main
 
     out = Path(ns.out)
-    if out.exists():
+    meta_done = ns.resume and any((out / "meta" / "checkpoints").glob("*")) \
+        if (out / "meta" / "checkpoints").exists() else False
+    if out.exists() and not meta_done:
         shutil.rmtree(out)
-    out.mkdir(parents=True)
+    out.mkdir(parents=True, exist_ok=True)
+    for stale in ("finetune", "driving"):
+        if meta_done and (out / stale).exists():
+            shutil.rmtree(out / stale)
 
     steps_per_epoch = max(1, ns.num_labels // ns.batch_size)
     num_epochs = max(1, ns.iters // steps_per_epoch)
@@ -102,20 +111,21 @@ def main(argv=None):
     ]
 
     t0 = time.time()
-    train_main(flagship + [
-        "--dataloader", "synthetic",
-        "--synthetic_num_labels", str(ns.num_labels),
-        "--batch_size", str(ns.batch_size),
-        "--num_devices", "1",
-        "--num_epochs", str(num_epochs),
-        "--save_frequency", str(max(1, num_epochs // 2)),
-        "--lr_gen", str(ns.lr_gen), "--lr_dis", str(ns.lr_dis),
-        "--log_frequency_images", str(ns.log_frequency),
-        "--log_frequency_fixed_images", str(ns.log_frequency),
-        "--fixed_val_ids", "5", "--fixed_val_ids", "50",
-        "--fixed_val_ids", "100",
-        "--experiments_dir", str(out), "--experiment_name", "meta",
-    ])
+    if not meta_done:
+        train_main(flagship + [
+            "--dataloader", "synthetic",
+            "--synthetic_num_labels", str(ns.num_labels),
+            "--batch_size", str(ns.batch_size),
+            "--num_devices", "1",
+            "--num_epochs", str(num_epochs),
+            "--save_frequency", str(max(1, num_epochs // 2)),
+            "--lr_gen", str(ns.lr_gen), "--lr_dis", str(ns.lr_dis),
+            "--log_frequency_images", str(ns.log_frequency),
+            "--log_frequency_fixed_images", str(ns.log_frequency),
+            "--fixed_val_ids", "5", "--fixed_val_ids", "50",
+            "--fixed_val_ids", "100",
+            "--experiments_dir", str(out), "--experiment_name", "meta",
+        ])
     meta_secs = time.time() - t0
 
     meta_dir = out / "meta"
@@ -127,6 +137,22 @@ def main(argv=None):
     loss_g = [v for _, v in series(rows, "Metrics/train/loss_G")]
     report["loss_G_first10pct"] = window_mean(loss_g, 0.0, 0.1)
     report["loss_G_last10pct"] = window_mean(loss_g, 0.9, 1.0)
+
+    # per-term descent: the adversarial terms sit at the GAN equilibrium by
+    # design (loss_G/loss_D are not monotone indicators — reference QC
+    # watches reconstructions, holycow.py:319-342); the reconstruction /
+    # auxiliary terms must all descend
+    recon_terms = {}
+    for r in rows:
+        t = r["tag"]
+        if (t.startswith("Metrics/train/Loss_")
+                and "adversarial" not in t):
+            recon_terms.setdefault(t.rsplit("/", 1)[1], []).append(
+                r["value"])
+    report["recon_terms"] = {
+        name: {"first10pct": round(window_mean(vs, 0.0, 0.1), 5),
+               "last10pct": round(window_mean(vs, 0.9, 1.0), 5)}
+        for name, vs in recon_terms.items()}
     for tag in ("Fixed_metrics/train/PSNR",
                 "Fixed_metrics/train/segm_IoU"):
         pts = series(rows, tag)
@@ -173,8 +199,9 @@ def main(argv=None):
     report["drive_outputs"] = [str(v) for v in videos]
 
     report["verdicts"] = {
-        "loss_G_descends":
-            report["loss_G_last10pct"] < report["loss_G_first10pct"],
+        "all_recon_terms_descend": all(
+            v["last10pct"] < v["first10pct"]
+            for v in report["recon_terms"].values()),
         "psnr_improves":
             report.get("psnr_last", 0) > report.get("psnr_first", 1e9),
         "iou_improves":
