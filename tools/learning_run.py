@@ -174,7 +174,13 @@ def main(argv=None):
         "--allow_random_vgg", "--metrics", "",
         "--checkpoint_path", str(ckpts[-1]),
         "--batch_size", "8", "--num_epochs", "230",
-        "--synthetic_frames_per_video", "8",  # 8-image avatar, 1 step/epoch
+        # 8-image avatar: BOTH flags must say 8 — synthetic_num_labels
+        # drives steps_per_epoch (num_labels // batch = 1 step/epoch, so
+        # num_epochs counts ITERATIONS, the reference's 230-iter protocol);
+        # without it the checkpoint-carried meta value (128) leaks in and
+        # the "230-iteration" fine-tune silently runs 16x longer
+        "--synthetic_num_labels", "8",
+        "--synthetic_frames_per_video", "8",
         "--num_devices", "1",
         "--log_frequency_images", "99999",
         "--log_frequency_fixed_images", "99999",
