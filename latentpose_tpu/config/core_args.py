@@ -16,7 +16,9 @@ from latentpose_tpu.config.argparse_utils import MyArgumentParser
 def build_core_parser() -> MyArgumentParser:
     parser = MyArgumentParser(conflict_handler="resolve")
 
-    parser.add("--config_name", type=str, default="")
+    # "--config" is the reference spelling (reference train.py:25); both
+    # land on args.config_name.
+    parser.add("--config_name", "--config", type=str, default="")
 
     # Plugin selection (reference train.py:27-34)
     parser.add("--generator", type=str, default="")

@@ -25,6 +25,17 @@ def write_config(tmp_path, name, body):
     return str(cfg_dir)
 
 
+def test_config_alias_matches_reference_spelling(tmp_path):
+    # Reference users type `--config finetuning-base` (reference
+    # train.py:25); both spellings land on args.config_name.
+    cfg_dir = write_config(tmp_path, "t", "batch_size: 17\n")
+    parser = build_core_parser()
+    args, _, _, _ = get_args_and_modules(
+        parser, configs_dir=cfg_dir, argv=["--config", "t"])
+    assert args.config_name == "t"
+    assert args.batch_size == 17
+
+
 def test_resolution_order_yaml_over_default_cli_over_yaml(tmp_path):
     cfg_dir = write_config(tmp_path, "t", "batch_size: 17\nlr_gen: 0.5\n")
     parser = build_core_parser()
