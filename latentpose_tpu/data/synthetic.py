@@ -67,8 +67,71 @@ def _pose_of_frame(frame: int, period: int = 32):
     return yaw, pitch, mouth
 
 
+# Rendered-frame cache: the pose trajectory has period 32, so a run touches
+# at most num_labels x 32 distinct frames; at 256² a full 128-identity set is
+# ~3.2 GB of f32 — cheap next to host RAM, and it turns the host-side render
+# cost (~14 ms/frame at 256², i.e. ~1 s per 72-frame flagship batch) into a
+# one-time warmup.  Cached arrays are exact (no quantization) and read-only.
+import os as _os
+
+_RENDER_CACHE_CAP = int(_os.environ.get("LPT_SYNTH_CACHE_MB", "8192")) << 20
+_render_cache: dict = {}
+_render_cache_bytes = 0
+
+
+class _SlabPool:
+    """Bump allocator over large ``np.zeros`` slabs.
+
+    Retaining many small fresh mallocs forces the allocator to keep mapping
+    new anonymous memory, and on this fleet's VMs first-touch write faults
+    to plain-mmap'd pages run ~150 ms/MB (measured; calloc-backed pages
+    fault ~300x faster).  Copying retained cache entries into zeros-backed
+    slabs turns a multi-minute cache build into seconds.
+    """
+
+    def __init__(self, slab_bytes=256 << 20):
+        self._slab = None
+        self._off = 0
+        self._slab_bytes = slab_bytes
+
+    def store(self, arr):
+        n = int(arr.nbytes)
+        if self._slab is None or self._off + n > self._slab.nbytes:
+            self._slab = np.zeros(max(self._slab_bytes, n), np.uint8)
+            self._off = 0
+        view = self._slab[self._off:self._off + n] \
+            .view(arr.dtype).reshape(arr.shape)
+        np.copyto(view, arr)
+        self._off += (n + 63) & ~63  # keep 64-byte alignment
+        view.flags.writeable = False
+        return view
+
+
+_slab_pool = _SlabPool()
+
+
 def render_face(label: int, frame: int, image_size: int):
-    """Render (image, segm) float32 in [0, 1]; (H, W, 3) and (H, W, 1)."""
+    """Render (image, segm) float32 in [0, 1]; (H, W, 3) and (H, W, 1).
+
+    Results are cached (exact, read-only) keyed by (label, frame mod the
+    pose period, image_size); callers must not mutate them in place.
+    """
+    global _render_cache_bytes
+    key = (int(label), int(frame) % 32, int(image_size))
+    hit = _render_cache.get(key)
+    if hit is not None:
+        return hit
+    img, segm = _render_face_uncached(label, frame, image_size)
+    nbytes = img.nbytes + segm.nbytes
+    if _render_cache_bytes + nbytes <= _RENDER_CACHE_CAP:
+        img = _slab_pool.store(img)
+        segm = _slab_pool.store(segm)
+        _render_cache[key] = (img, segm)
+        _render_cache_bytes += nbytes
+    return img, segm
+
+
+def _render_face_uncached(label: int, frame: int, image_size: int):
     skin, bg, size, eye_sep = _identity_style(label)
     yaw, pitch, mouth = _pose_of_frame(frame)
     h = w = image_size
@@ -102,7 +165,11 @@ def render_face(label: int, frame: int, image_size: int):
     mo = (m2 < 1.0).astype(np.float32)
     img = img * (1 - mo[..., None]) + 0.1 * mo[..., None]
 
-    return img, head[..., None]
+    # the style scalars are float64 (rng.rand), so the math above upcasts;
+    # cast once here — identical values to the downstream .astype(float32)
+    # the loaders always applied, at half the cache/copy cost.
+    return (img.astype(np.float32), np.ascontiguousarray(
+        head[..., None], dtype=np.float32))
 
 
 class _SyntheticSampleLoader:
