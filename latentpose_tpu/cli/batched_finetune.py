@@ -5,13 +5,20 @@ iteration protocol, ``:95-101``).
 
 Unlike the reference (hardcoded model/identity lists + LSF submission), the
 sweep is fully parameterized: identities come from --identities or
---identities_file; models from repeated --model CHECKPOINT_PATH.
+--identities_file; models from repeated --model CHECKPOINT_PATH.  The
+reference's cluster path (`bsub` with hardcoded queue/GPU flags,
+``batched_finetune.py:123-135``) generalizes to ``--submit_template``: a
+shell template with ``{cmd}`` / ``{name}`` / ``{log}`` placeholders, so any
+scheduler works, e.g.
+  --submit_template 'bsub -J {name} -o {log} {cmd}'          (LSF)
+  --submit_template 'sbatch -J {name} -o {log} --wrap {cmd}' (Slurm)
 """
 
 from __future__ import annotations
 
 import argparse
 import logging
+import shlex
 import subprocess
 import sys
 from pathlib import Path
@@ -43,6 +50,12 @@ def main(argv=None):
                                 "perceptual, dice")
     parser.add_argument("--extra_args", nargs=argparse.REMAINDER, default=[],
                         help="Passed through to train.py")
+    parser.add_argument("--submit_template", type=str, default="",
+                        help="Scheduler submission template; {cmd} is the "
+                             "shell-quoted fine-tune command, {name} the "
+                             "experiment name, {log} a per-run log path. "
+                             "Empty (default) runs locally and serially, "
+                             "like the reference without --use_bsub.")
     parser.add_argument("--dry_run", action="store_true")
     args = parser.parse_args(argv)
 
@@ -87,6 +100,22 @@ def main(argv=None):
                 "--experiment_name", experiment_name,
                 "--criterions", args.criterions,
             ] + list(args.extra_args)
+            if args.submit_template:
+                # submit to a scheduler (reference batched_finetune.py:
+                # 123-135 hardcodes `bsub -gpu ... -o ... python3 ...`;
+                # the template form covers LSF/Slurm/anything)
+                log_path = output_dir / experiment_name / "finetune.log"
+                submit = args.submit_template.format(
+                    cmd=shlex.join(command),
+                    name=f"{model_tag}__{experiment_name}",
+                    log=shlex.quote(str(log_path)))
+                commands.append(submit)
+                if args.dry_run:
+                    print(submit)
+                else:
+                    log_path.parent.mkdir(parents=True, exist_ok=True)
+                    subprocess.run(submit, shell=True, check=True)
+                continue
             commands.append(command)
             if args.dry_run:
                 print(" ".join(command))

@@ -22,7 +22,8 @@ import numpy as np
 
 from latentpose_tpu import checkpoint as ckpt_lib
 from latentpose_tpu.config import build_core_parser, get_args_and_modules
-from latentpose_tpu.parallel.mesh import create_mesh, replicate
+from latentpose_tpu.parallel.mesh import (create_mesh, shard_state,
+                                          state_shardings)
 from latentpose_tpu.runners import build, finetune as ft, holycow, loop
 from latentpose_tpu.utils.logging_writer import setup_logging
 
@@ -142,11 +143,16 @@ def main(argv=None):
     else:
         args.experiment_dir = str(args.experiments_dir)
 
+    shardings = None
     if mesh is not None:
-        state = replicate(state, mesh)
+        mode = getattr(args, "param_sharding", "replicated")
+        state = shard_state(state, mesh, mode)
+        if mode == "fsdp":
+            # pin the step's output placement so the state STAYS sharded
+            shardings = state_shardings(state, mesh, mode)
 
     step_fn = holycow.make_train_step(models, criteria, args, opt_g, opt_d,
-                                      donate=True)
+                                      donate=True, state_shardings=shardings)
     eval_forward = loop.make_eval_forward(models, args)
 
     # Save-on-kill (reference train.py:176-194), parent-PID-guarded.

@@ -90,6 +90,13 @@ def build_core_parser() -> MyArgumentParser:
     # Hardware / parallelism (TPU-native replacement of --num_gpus)
     parser.add("--num_devices", type=int, default=0,
                help="Data-parallel mesh size; 0 = all visible devices")
+    parser.add("--param_sharding", type=str, default="replicated",
+               choices=["replicated", "fsdp"],
+               help="Training-state placement on the mesh: 'replicated' = "
+                    "pure DP (reference parity); 'fsdp' shards params/EMA/"
+                    "optimizer moments over the data axis (ZeRO-3-style, "
+                    "XLA inserts the gathers) — cuts per-chip state memory "
+                    "~Nx for larger-than-reference models")
     parser.add("--compute_dtype", type=str, default="float32",
                choices=["float32", "bfloat16"])
 

@@ -49,6 +49,14 @@ class Wrapper:
         parser.add("--fixed_val_ids", action="append", type=int,
                    default=[50, 100, 200, 250, 300])
         parser.add("--batch_size_inference", default=5, type=int)
+        parser.add("--grad_accum_steps", default=1, type=int,
+                   help="Split each batch into this many microbatches "
+                        "inside the jitted step (lax.scan), averaging "
+                        "gradients before the single optimizer update — "
+                        "the TPU-native analog of the reference's horovod "
+                        "backward_passes_per_step regime (reference "
+                        "train.py:201-211): scale the effective batch "
+                        "beyond what fits in HBM at once")
         return parser
 
 
@@ -234,11 +242,17 @@ def apply_criteria(criteria, data_dict):
     return losses_G, losses_D
 
 
-def make_train_step(models, criteria, args, opt_g, opt_d, donate=False):
+def make_train_step(models, criteria, args, opt_g, opt_d, donate=False,
+                    state_shardings=None):
     """Build the jitted train step.
 
     state, batch, rng -> (new_state, scalars) where scalars carries every
     individual loss term (reference per-iteration TB scalars).
+
+    ``state_shardings`` (a TrainState-shaped tree of NamedShardings, see
+    parallel/mesh.state_shardings) pins the OUTPUT state's placement — with
+    `--param_sharding fsdp` this keeps params/EMA/optimizer moments sharded
+    across steps instead of letting GSPMD gather them back to replicated.
     """
     finetune = bool(args.finetune)
     ema_alpha = 0.972 if finetune else 0.999  # reference holycow.py:257
@@ -272,15 +286,54 @@ def make_train_step(models, criteria, args, opt_g, opt_d, donate=False):
         scalars["loss_D"] = loss_D
         return total, (scalars, new_bs, new_spec)
 
+    grad_accum = int(getattr(args, "grad_accum_steps", 1) or 1)
+
     def train_step(state: TrainState, batch, rng):
         rng_aug, rng = jax.random.split(rng)
         batch = maybe_augment(batch, rng_aug)
         trainable = {"g": g_trainable(state.params, finetune),
                      "d": d_trainable(state.params)}
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (scalars, new_bs, new_spec)), grads = grad_fn(
-            trainable, state.params, state.batch_stats, state.spectral,
-            batch, rng)
+        if grad_accum > 1:
+            # Microbatch accumulation under lax.scan: each microbatch runs
+            # the full 4-pass GAN forward (BN stats and spectral-norm power
+            # iteration advance per microbatch, like k reference forwards);
+            # gradients are averaged — each criterion is a mean over its
+            # microbatch rows, so the average over equal-size microbatches
+            # equals the full-batch gradient.  Peak activation memory drops
+            # ~grad_accum-x; grads live once (carried, not stacked).
+            bsz = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            if bsz % grad_accum:
+                raise ValueError(
+                    f"--grad_accum_steps {grad_accum} must divide the "
+                    f"batch size {bsz}")
+
+            def split(x):
+                return x.reshape(
+                    (grad_accum, x.shape[0] // grad_accum) + x.shape[1:])
+
+            micro = jax.tree_util.tree_map(split, batch)
+            micro_rngs = jax.random.split(rng, grad_accum)
+
+            def body(carry, xs):
+                bs, spec, gsum = carry
+                mb, mrng = xs
+                (_, (mscal, nbs, nspec)), mgrads = grad_fn(
+                    trainable, state.params, bs, spec, mb, mrng)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, mgrads)
+                return (nbs, nspec, gsum), mscal
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), trainable)
+            (new_bs, new_spec, gsum), scal_stack = jax.lax.scan(
+                body, (state.batch_stats, state.spectral, zeros),
+                (micro, micro_rngs))
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+            scalars = jax.tree_util.tree_map(lambda s: s.mean(0), scal_stack)
+        else:
+            (_, (scalars, new_bs, new_spec)), grads = grad_fn(
+                trainable, state.params, state.batch_stats, state.spectral,
+                batch, rng)
 
         updates_g, opt_state_g = opt_g.update(
             grads["g"], state.opt_state_g, trainable["g"])
@@ -319,4 +372,8 @@ def make_train_step(models, criteria, args, opt_g, opt_d, donate=False):
 
     # Donating the state buffers halves peak HBM in the real training loop;
     # tests keep the old state alive for comparisons, so it's opt-in.
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    jit_kwargs = {}
+    if state_shardings is not None:
+        jit_kwargs["out_shardings"] = (state_shardings, None)
+    return jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                   **jit_kwargs)

@@ -31,6 +31,37 @@ def test_batched_finetune_dry_run(tmp_path):
     assert cmd[cmd.index("--config_name") + 1] == "finetuning-base"
 
 
+def test_batched_finetune_submit_template(tmp_path):
+    """--submit_template generalizes the reference's LSF bsub path
+    (reference batched_finetune.py:123-135): {cmd}/{name}/{log} are
+    substituted and the submission is a single shell string."""
+    from latentpose_tpu.cli.batched_finetune import main
+    ckpt = tmp_path / "exp" / "checkpoints" / "model_00000010.ckpt"
+    ckpt.mkdir(parents=True)
+    (ckpt / "meta.json").write_text("{}")
+    img_dir = tmp_path / "data" / "images-cropped" / "id1" / "vidA" / "identity"
+    img_dir.mkdir(parents=True)
+    for i in range(14):
+        (img_dir / f"{i:05d}.jpg").write_bytes(b"x")
+
+    commands = main([
+        "--model", str(ckpt),
+        "--data_root", str(tmp_path / "data"),
+        "--identities", "id1/vidA/identity",
+        "--output_dir", str(tmp_path / "pup"),
+        "--submit_template", "bsub -J {name} -o {log} {cmd}",
+        "--dry_run",
+    ])
+    assert len(commands) == 1
+    submit = commands[0]
+    assert isinstance(submit, str)
+    assert submit.startswith("bsub -J ")
+    assert "model_00000010.ckpt__id1_vidA_identity" in submit
+    assert "finetune.log" in submit
+    assert "train.py --config_name finetuning-base" in submit
+    assert "--batch_size 8" in submit  # min(14 images, default max 8)
+
+
 def test_batched_drive_dry_run(tmp_path):
     from latentpose_tpu.cli.batched_drive import main
     avatar = tmp_path / "pup" / "id1_vidA_identity" / "checkpoints" / "c1"

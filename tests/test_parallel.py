@@ -5,7 +5,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from latentpose_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from latentpose_tpu.parallel.mesh import (create_mesh, replicate,
+                                          shard_batch, shard_state,
+                                          state_shardings)
 
 
 def test_mesh_creation_and_sharding():
@@ -34,9 +36,9 @@ def test_flagship_bn_vgg_multichip_parity():
     __graft_entry__.dryrun_multichip(8)
 
 
-def test_train_step_mesh_matches_single_device():
-    """The 8-way-DP train step must equal the single-device step bit-for-bit
-    (modulo reduction order): same batch, same rng -> same new params."""
+def _toy_trio():
+    """Small flagship-shaped trio + one synthetic batch, shared by the
+    mesh-parity tests."""
     import types
     from latentpose_tpu.losses import adversarial, dice, featmat, l1_rgb
     from latentpose_tpu.models.discriminators import no_landmarks as dis_mod
@@ -72,12 +74,21 @@ def test_train_step_mesh_matches_single_device():
     opt_g, opt_d = build.build_optimizers(args, {"discriminators": dis_mod})
     state = build.init_train_state(args, models, opt_g, opt_d,
                                    jax.random.PRNGKey(0))
-    step_fn = holycow.make_train_step(models, criteria, args, opt_g, opt_d)
 
     loader = SyntheticDataLoader(16, 8, num_labels=8, num_enc_frames=2)
     data, target = loader.get_batch(0)
     batch = {**data, **target}
-    rng = jax.random.PRNGKey(7)
+    return (args, models, criteria, opt_g, opt_d, state, batch,
+            jax.random.PRNGKey(7))
+
+
+def test_train_step_mesh_matches_single_device():
+    """The 8-way-DP train step must equal the single-device step bit-for-bit
+    (modulo reduction order): same batch, same rng -> same new params."""
+    from latentpose_tpu.runners import holycow
+
+    (args, models, criteria, opt_g, opt_d, state, batch, rng) = _toy_trio()
+    step_fn = holycow.make_train_step(models, criteria, args, opt_g, opt_d)
 
     # single device
     s1, scalars1 = step_fn(state, batch, rng)
@@ -100,3 +111,60 @@ def test_train_step_mesh_matches_single_device():
             jax.tree_util.tree_leaves(s8.params["generator"])):
         np.testing.assert_allclose(np.asarray(leaf1), np.asarray(leaf8),
                                    rtol=1e-3, atol=5e-4)
+
+
+def test_train_step_fsdp_matches_single_device():
+    """`--param_sharding fsdp` (ZeRO-3-style state sharding, a
+    beyond-reference extension): one step on the 8-device mesh must match
+    the single-device step numerically, AND the updated state must remain
+    sharded (params + optimizer moments), i.e. per-chip state memory really
+    is cut ~8x rather than silently gathered back by GSPMD."""
+    from latentpose_tpu.runners import holycow
+
+    (args, models, criteria, opt_g, opt_d, state, batch, rng) = _toy_trio()
+
+    # single device baseline
+    base_fn = holycow.make_train_step(models, criteria, args, opt_g, opt_d)
+    s1, scalars1 = base_fn(state, batch, rng)
+
+    mesh = create_mesh(8)
+    # tiny toy model: lower the min leaf size so conv kernels etc. shard
+    min_size = 64
+    state_f = shard_state(state, mesh, "fsdp", min_size=min_size)
+    shardings = state_shardings(state_f, mesh, "fsdp", min_size=min_size)
+
+    # the initial placement must actually split something
+    def sharded_leaves(tree):
+        return [x for x in jax.tree_util.tree_leaves(tree)
+                if hasattr(x, "sharding")
+                and not x.sharding.is_fully_replicated]
+    assert len(sharded_leaves(state_f.params)) >= 4
+    assert len(sharded_leaves(state_f.opt_state_g)) >= 4
+
+    step_fn = holycow.make_train_step(models, criteria, args, opt_g, opt_d,
+                                      state_shardings=shardings)
+    batch_s = shard_batch(batch, mesh)
+    s8, scalars8 = step_fn(state_f, batch_s, rng)
+
+    np.testing.assert_allclose(float(scalars1["loss_G"]),
+                               float(scalars8["loss_G"]), rtol=1e-4)
+    np.testing.assert_allclose(float(scalars1["loss_D"]),
+                               float(scalars8["loss_D"]), rtol=1e-4)
+    for leaf1, leaf8 in zip(jax.tree_util.tree_leaves(s1.params),
+                            jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(leaf1), np.asarray(leaf8),
+                                   rtol=1e-3, atol=5e-4)
+
+    # the OUTPUT state keeps the FSDP placement (out_shardings pin): a
+    # sharded param leaf's addressable shard is 1/8 of the global rows
+    assert len(sharded_leaves(s8.params)) >= 4
+    assert len(sharded_leaves(s8.opt_state_g)) >= 4
+    big = [x for x in jax.tree_util.tree_leaves(s8.params)
+           if hasattr(x, "sharding")
+           and not x.sharding.is_fully_replicated][0]
+    local = big.addressable_shards[0].data
+    assert local.size == big.size // 8
+
+    # another step from the sharded state runs (steady-state shape)
+    s8b, _ = step_fn(s8, batch_s, jax.random.fold_in(rng, 1))
+    assert len(sharded_leaves(s8b.params)) >= 4

@@ -187,3 +187,95 @@ def test_finetune_step_runs():
     diff = jnp.abs(new_state.params["finetune_embedding"]
                    - state.params["finetune_embedding"]).max()
     assert float(diff) > 0
+
+
+def test_grad_accum_matches_manual_microbatch_reference():
+    """--grad_accum_steps k: the scanned accumulation must equal a manual
+    k-microbatch reference (same forward via holycow.forward, BN/spectral
+    threaded microbatch-to-microbatch, grads averaged, ONE optimizer
+    update) — the TPU-native analog of horovod backward_passes_per_step
+    (reference train.py:201-211)."""
+    from latentpose_tpu.runners.state import d_trainable, merge_trainable
+
+    import optax
+
+    k = 2
+    args = tiny_args(batch_size=4, grad_accum_steps=k)
+    models = tiny_models(args)
+    criteria = tiny_criteria(args)
+    # Plain SGD, deliberately: param deltas are then LINEAR in the averaged
+    # gradients, so (a) tight tolerances are valid (scan-vs-unrolled f32
+    # reassociation stays ~1e-7 instead of being amplified to O(lr) sign
+    # flips by Adam's m/sqrt(v) normalization on near-zero grads) and
+    # (b) a sum-instead-of-mean bug shows as a factor-k delta — Adam is
+    # scale-invariant in the gradient and would mask it.
+    opt_g = optax.sgd(1e-2)
+    opt_d = optax.sgd(1e-2)
+    state = build.init_train_state(args, models, opt_g, opt_d,
+                                   jax.random.PRNGKey(0))
+    step_fn = holycow.make_train_step(models, criteria, args, opt_g, opt_d)
+
+    batch = tiny_batch(args)
+    rng = jax.random.PRNGKey(3)
+    new_state, scalars = step_fn(state, batch, rng)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(scalars["loss_G"]))
+
+    # ---- manual reference ------------------------------------------------
+    _, rng_rest = jax.random.split(rng)           # mirrors the aug split
+    micro_rngs = jax.random.split(rng_rest, k)
+    trainable = {"g": g_trainable(state.params, False),
+                 "d": d_trainable(state.params)}
+
+    def loss_fn(tr, bs, spec, mb, mrng):
+        full = merge_trainable(state.params, tr["g"], tr["d"])
+        dd, nbs, nspec = holycow.forward(
+            models, full, bs, spec, mb, rng=mrng, train=True,
+            finetune=False, update_stats=True, compute_dtype=None)
+        lg, ld = holycow.apply_criteria(criteria, dd)
+        total = sum(lg.values()) + sum(ld.values())
+        return total, (nbs, nspec)
+
+    bs, spec = state.batch_stats, state.spectral
+    gsum = None
+    for i in range(k):
+        mb = {key: v[i * 2:(i + 1) * 2] for key, v in batch.items()}
+        (_, (bs, spec)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable, bs, spec, mb, micro_rngs[i])
+        gsum = grads if gsum is None else jax.tree_util.tree_map(
+            jnp.add, gsum, grads)
+    gmean = jax.tree_util.tree_map(lambda g: g / k, gsum)
+
+    upd_g, _ = opt_g.update(gmean["g"], state.opt_state_g, trainable["g"])
+    new_g = optax.apply_updates(trainable["g"], upd_g)
+    upd_d, _ = opt_d.update(gmean["d"], state.opt_state_d, trainable["d"])
+    new_d = optax.apply_updates(trainable["d"], upd_d)
+    ref_params = merge_trainable(state.params, new_g, new_d)
+
+    # lax.scan compiles the microbatch body once, the manual loop traces it
+    # per call — XLA fuses the two differently, so allow f32 reassociation
+    # noise; under SGD that noise is NOT amplified, so the tolerance is
+    # tight enough that unaveraged grads (factor k) or unthreaded
+    # BN/spectral state fail by orders of magnitude.
+    for ours, ref in zip(jax.tree_util.tree_leaves(new_state.params),
+                         jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-6)
+    # spectral PI state advanced exactly k-times-threaded
+    for ours, ref in zip(jax.tree_util.tree_leaves(new_state.spectral),
+                         jax.tree_util.tree_leaves(spec)):
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    args = tiny_args(batch_size=3, grad_accum_steps=2)
+    models = tiny_models(args)
+    criteria = tiny_criteria(args)
+    opt_g, opt_d = build.build_optimizers(args, {"discriminators": dis_mod})
+    state = build.init_train_state(args, models, opt_g, opt_d,
+                                   jax.random.PRNGKey(0))
+    step_fn = holycow.make_train_step(models, criteria, args, opt_g, opt_d)
+    batch = tiny_batch(args)
+    with pytest.raises(ValueError, match="must divide"):
+        step_fn(state, batch, jax.random.PRNGKey(1))
