@@ -59,6 +59,13 @@ def main(argv=None):
     from latentpose_tpu.data.dataloader import Dataloader
     dataloader_train = Dataloader(args.dataloader).get_dataloader(
         args, part="train", phase="train")
+    # Validation part (the reference declares --skip_eval and then raises
+    # NotImplementedError("NYI: validation") when it is off — reference
+    # train.py:130-133,293-302; implemented here).
+    dataloader_val = None
+    if not args.skip_eval:
+        dataloader_val = Dataloader(args.dataloader).get_dataloader(
+            args, part="val", phase="val")
 
     # num_labels: dataset-derived unless pinned by checkpoint args
     # (reference voxceleb.py:101-115: resume truncates to checkpoint's).
@@ -186,6 +193,11 @@ def main(argv=None):
                                eval_forward=eval_forward, metrics=metrics,
                                saver=saver)
         holder["state"] = state
+
+        if dataloader_val is not None and jax.process_index() == 0:
+            loop.run_validation(dataloader_val, eval_forward, state, args,
+                                epoch, writer=writer, metrics=metrics,
+                                saver=saver)
 
         if jax.process_index() == 0:
             will_save = epoch == args.num_epochs - 1

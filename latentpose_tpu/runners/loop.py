@@ -147,6 +147,54 @@ def run_fixed_id_eval(dataloader, eval_forward, state, args, writer,
             dataset.loader.deterministic = was_deterministic
 
 
+def run_validation(dataloader, eval_forward, state, args, epoch,
+                   writer=None, metrics=(), saver=None):
+    """Post-epoch validation pass over the ``val`` part.
+
+    The reference declares this but never implements it: ``--skip_eval``
+    defaults True and the ``not skip_eval`` branch raises
+    ``NotImplementedError("NYI: validation")`` (reference
+    ``train.py:130-133,293-302``).  The commented-out sketch there runs the
+    module with EMA weights and no losses over ``dataloader_val`` and feeds
+    a ``Saver`` — which is exactly what this does: eval_forward (EMA
+    weights, no grads), metric meters logged as ``Metrics/val/*``, a
+    ``Images/val/visual`` grid of the first batch, and per-batch npz dumps
+    through ``Saver`` when ``--saver`` is set.
+    """
+    meter = Meter()
+    end = time.time()
+    for it, (data_dict, target_dict) in enumerate(dataloader):
+        meter.add("Data_time", time.time() - end)
+        batch = {**data_dict, **target_dict}
+        outputs = eval_forward(state, batch)
+        merged = {**batch, **{k: np.asarray(v) for k, v in outputs.items()}}
+        for metric in metrics:
+            values, counts = metric(merged)
+            for name, value in values.items():
+                meter.add(name, value, counts.get(name, 1))
+        if it == 0 and writer is not None:
+            grid, captions = make_visual(
+                merged, n_samples=min(len(merged["fake_rgbs"]),
+                                      args.num_visuals_per_img))
+            writer.add_image("Images/val/visual", grid, captions,
+                             args.iteration)
+        if saver is not None:
+            saver.save(epoch=epoch, iteration=args.iteration,
+                       data={"fake_rgbs": merged["fake_rgbs"],
+                             "fake_segm": merged.get("fake_segm"),
+                             "label": merged.get("label")})
+        meter.add("Batch_time", time.time() - end)
+        end = time.time()
+    if writer is not None:
+        for name in meter.keys():
+            writer.add_scalar(f"Metrics/val/{name}",
+                              meter.get_average(name), args.iteration)
+    logger.info("Validation after epoch %d: %s", epoch,
+                {name: round(meter.get_average(name), 4)
+                 for name in meter.keys()})
+    return {name: meter.get_average(name) for name in meter.keys()}
+
+
 def run_epoch(dataloader, step_fn, state, args, epoch, rng,
               mesh=None, writer=None, eval_forward=None, metrics=(),
               saver=None):

@@ -113,3 +113,49 @@ def test_train_cli_synthetic_probes_and_cross_driving(tmp_path):
     assert "_other_video" in caption_text
     assert "_other_person" in caption_text
     assert list((run_dir / "images").glob("Fixed_images*.png"))
+
+
+def test_train_cli_validation_loop(tmp_path):
+    """--no-skip_eval runs a real post-epoch validation pass (the reference
+    declares the flag but raises NotImplementedError("NYI: validation") —
+    reference train.py:130-133,293-302): Metrics/val/* scalars, an
+    Images/val grid, and Saver npz dumps under validation_results/."""
+    from latentpose_tpu.cli.train import main
+    exp_dir = tmp_path / "exp"
+    state = main([
+        "--embedder", "simple_conv",
+        "--generator", "vector_pose_unsupervised_segmentation_noBottleneck",
+        "--discriminator", "no_landmarks",
+        "--criterions", "adversarial, featmat, dice",
+        "--metrics", "psnr, segmentation_iou",
+        "--dataloader", "synthetic", "--runner", "holycow",
+        "--synthetic_num_labels", "4", "--num_enc_frames", "2",
+        "--image_size", "32", "--num_channels", "4",
+        "--max_num_channels", "16", "--embed_channels", "16",
+        "--pose_embedding_size", "8", "--dis_num_blocks", "3",
+        "--batch_size", "2", "--num_devices", "1",
+        "--num_epochs", "1",
+        "--no-skip_eval",
+        "--saver", "npz_per_batch",
+        "--experiments_dir", str(exp_dir),
+        "--experiment_name", "valrun",
+    ])
+    assert int(state.step) == 2
+
+    run_dir = exp_dir / "valrun"
+    scalars = [json.loads(l) for l in open(run_dir / "scalars.jsonl")]
+    tags = {s["tag"] for s in scalars}
+    assert "Metrics/val/PSNR" in tags, tags
+    assert "Metrics/val/segm_IoU" in tags, tags
+    val_psnr = [s["value"] for s in scalars
+                if s["tag"] == "Metrics/val/PSNR"]
+    assert all(np.isfinite(v) for v in val_psnr)
+
+    assert list((run_dir / "images").glob("Images_val*.png")) or \
+        list((run_dir / "images").glob("*val*.png")), \
+        "validation visual grid should have been written"
+
+    dumps = sorted((run_dir / "validation_results").glob("*.npz"))
+    assert dumps, "Saver should have written per-batch npz dumps"
+    payload = np.load(dumps[-1])
+    assert "fake_rgbs" in payload or "scalar_loss_G" in payload
