@@ -222,6 +222,12 @@ def main():
 
 
 if __name__ == "__main__":
+    # Persistent XLA compilation cache (TPU-only, see utils/compile_cache):
+    # the bench programs are identical round to round, so warm runs skip
+    # the ~minutes of compile time and measure only execution.
+    from latentpose_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()
     try:
         bench_train_step(with_augs=True)   # reference-parity headline
         bench_train_step(with_augs=False)  # ablation: augmentation cost
