@@ -27,6 +27,58 @@ import numpy as np
 
 R1_TRAIN_STEP_MS = 149.0  # round-1 measured baseline (STATUS r1)
 
+# Peak MXU throughput by device kind (public spec sheets), used for MFU.
+# (device_kind substring, bf16 peak FLOP/s, int8 peak OP/s)
+TPU_PEAK_FLOPS = (
+    ("v6", 918e12, 1836e12),   # Trillium / v6e
+    ("v5p", 459e12, 918e12),
+    ("v5", 197e12, 394e12),    # v5e ("TPU v5 lite")
+    ("v4", 275e12, 275e12),    # no int8 MXU speedup on v4
+    ("v3", 123e12, 123e12),
+)
+
+
+def device_peak_flops(int8=False):
+    """Peak FLOP/s of device 0, or None when unknown / not a TPU."""
+    import jax
+    if jax.default_backend() == "cpu":
+        return None
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, bf16_peak, int8_peak in TPU_PEAK_FLOPS:
+        if sub in kind:
+            return int8_peak if int8 else bf16_peak
+    return None
+
+
+def compiled_flops(compiled):
+    """XLA compiler-counted FLOPs of an AOT-compiled program (model FLOPs
+    for MFU — the same numerator the scaling-book convention uses)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def emit_mfu(metric, flops, seconds, int8=False):
+    """Print an MFU metric line; vs_baseline is MFU/0.4 (0.4 = the
+    conventional 'well-optimized training' bar; the reference has no MFU
+    counterpart — this is the TPU-first yardstick, SURVEY §6)."""
+    peak = device_peak_flops(int8=int8)
+    if not (flops and peak and seconds > 0):
+        return None
+    mfu = flops / seconds / peak
+    print(json.dumps({
+        "metric": metric,
+        "value": round(mfu, 4),
+        "unit": "fraction of %.0f TFLOP/s peak" % (peak / 1e12),
+        "vs_baseline": round(mfu / 0.4, 3),
+    }))
+    sys.stdout.flush()
+    return mfu
+
 
 def bench_train_step(with_augs=True):
     """Full meta-train step: both optimizers, EMA, spectral state, 6 losses,
@@ -93,13 +145,16 @@ def bench_train_step(with_augs=True):
     }
     batch_data = jax.device_put(batch_data)
 
-    state, _ = step_fn(state, batch_data, rng)  # compile
+    # AOT: one lowering serves execution, MFU cost analysis, and the
+    # end-to-end loop below without a second trace/compile.
+    compiled = step_fn.lower(state, batch_data, rng).compile()
+    state, _ = compiled(state, batch_data, rng)  # warmup
     jax.block_until_ready(state.params)
 
     n_iters = 10
     start = time.perf_counter()
     for i in range(n_iters):
-        state, _ = step_fn(state, batch_data, jax.random.fold_in(rng, i))
+        state, _ = compiled(state, batch_data, jax.random.fold_in(rng, i))
     jax.block_until_ready(state.params)
     ms = (time.perf_counter() - start) / n_iters * 1e3
     print(json.dumps({
@@ -109,7 +164,59 @@ def bench_train_step(with_augs=True):
         "vs_baseline": round(R1_TRAIN_STEP_MS / ms, 3),
     }))
     sys.stdout.flush()
+    if with_augs:
+        emit_mfu("train_step_mfu", compiled_flops(compiled), ms / 1e3)
+        bench_train_e2e(compiled, state, rng, batch, ms)
     return ms
+
+
+def bench_train_e2e(compiled, state, rng, batch, compiled_ms, n_steps=50):
+    """Wall-clock steps/s INCLUDING the host input pipeline: SyntheticDataset
+    -> BatchLoader (threaded prefetch) -> jitted step, >=50 steps (VERDICT r3
+    item 4 — turns the 'N host cores needed' extrapolation into an
+    end-to-end measurement; hot loop parity: reference holycow.py:224-252).
+
+    The synthetic source is cache-warm after epoch 1, so this measures the
+    loop machinery (collate, queue, H2D, dispatch overlap), not JPEG decode —
+    decode throughput has its own bench (tools/bench_input_pipeline.py).
+    ``vs_baseline`` is compiled-step-only ms / end-to-end ms, i.e. input
+    overlap efficiency (1.0 = input fully hidden behind the device step).
+    """
+    import os
+
+    import jax
+
+    from latentpose_tpu.data.pipeline import BatchLoader
+    from latentpose_tpu.data.synthetic import SyntheticDataset
+
+    cores = os.cpu_count() or 1
+    dataset = SyntheticDataset(256, num_labels=16, num_enc_frames=8,
+                               frames_per_video=32)
+    loader = BatchLoader(dataset, batch, shuffle=True, seed=0,
+                         num_workers=min(cores, 8),
+                         prefetch_size=4 * batch, shard_by_process=False)
+
+    def batches():
+        while True:
+            for data_dict, target_dict in loader:
+                yield {**data_dict, **target_dict}
+
+    it = batches()
+    state, _ = compiled(state, next(it), rng)  # warm the render cache
+    jax.block_until_ready(state.params)
+    start = time.perf_counter()
+    for i in range(n_steps):
+        state, _ = compiled(state, next(it), jax.random.fold_in(rng, i))
+    jax.block_until_ready(state.params)
+    e2e_ms = (time.perf_counter() - start) / n_steps * 1e3
+    print(json.dumps({
+        "metric": "train_step_ms_256_e2e",
+        "value": round(e2e_ms, 1),
+        "unit": f"ms/step incl. input ({cores} host cores, synthetic)",
+        "vs_baseline": round(compiled_ms / e2e_ms, 3),
+    }))
+    sys.stdout.flush()
+    return e2e_ms
 
 
 def main():
@@ -168,16 +275,18 @@ def main():
         np.random.rand(batch, image_size, image_size, 3).astype(np.float32))
 
     def measure(drive_step, n_iters=20):
-        drive_step(frames).block_until_ready()  # warmup / compile
+        compiled = drive_step.lower(frames).compile()
+        compiled(frames).block_until_ready()  # warmup
         start = time.perf_counter()
         in_flight = []
         for _ in range(n_iters):
-            in_flight.append(drive_step(frames))
+            in_flight.append(compiled(frames))
             if len(in_flight) > 2:  # keep the device queue fed
                 in_flight.pop(0).block_until_ready()
         for out in in_flight:
             out.block_until_ready()
-        return batch * n_iters / (time.perf_counter() - start)
+        fps = batch * n_iters / (time.perf_counter() - start)
+        return fps, compiled
 
     # Target: 2000 fps on 8 chips -> scale to this run's chip count.
     target = 2000.0 * n_chips / 8.0
@@ -186,7 +295,9 @@ def main():
     # ops/quant.py) — reported as a secondary metric
     fps_q = None
     try:
-        fps_q = measure(make_drive_step(generator_q))
+        fps_q, compiled_q = measure(make_drive_step(generator_q))
+        emit_mfu("drive_mfu_int8", compiled_flops(compiled_q),
+                 batch / fps_q, int8=True)
         print(json.dumps({
             "metric": "drive_fps_256_int8",
             "value": round(fps_q, 1),
@@ -198,7 +309,8 @@ def main():
         print(f"int8 drive bench failed: {exc}", file=sys.stderr)
 
     # headline: the exact bf16 path (last line, driver-recorded)
-    fps = measure(make_drive_step(generator))
+    fps, compiled_bf16 = measure(make_drive_step(generator))
+    emit_mfu("drive_mfu", compiled_flops(compiled_bf16), batch / fps)
     if fps_q is not None:
         # guard the int8 speed claim itself (VERDICT r2 Weak #3): the
         # quantized path must stay meaningfully faster than exact bf16

@@ -159,7 +159,8 @@ def main(argv=None):
             shardings = state_shardings(state, mesh, mode)
 
     step_fn = holycow.make_train_step(models, criteria, args, opt_g, opt_d,
-                                      donate=True, state_shardings=shardings)
+                                      donate=True, state_shardings=shardings,
+                                      mesh=mesh)
     eval_forward = loop.make_eval_forward(models, args)
 
     # Save-on-kill (reference train.py:176-194), parent-PID-guarded.
@@ -191,7 +192,7 @@ def main(argv=None):
         state = loop.run_epoch(dataloader_train, step_fn, state, args,
                                epoch, rng, mesh=mesh, writer=writer,
                                eval_forward=eval_forward, metrics=metrics,
-                               saver=saver)
+                               saver=saver, state_holder=holder)
         holder["state"] = state
 
         if dataloader_val is not None and jax.process_index() == 0:

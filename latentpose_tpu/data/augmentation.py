@@ -105,11 +105,43 @@ def multiply(key, images, low=0.5, high=1.5):
 
 
 def contrast(key, images, low=0.75, high=1.25):
-    k_apply, k_c = jax.random.split(key)
+    """iaa.OneOf([LinearContrast((0.75, 1.25)), SigmoidContrast(cutoff=0.5,
+    gain=(3, 11))]) (reference ``:72-75``): per sample, a fair coin picks the
+    linear map (v-.5)*c+.5 or the skimage-style sigmoid
+    1/(1+exp(gain*(cutoff-v)))."""
+    k_apply, k_pick, k_c, k_g = jax.random.split(key, 4)
     b = images.shape[0]
     c = jax.random.uniform(k_c, (b, 1, 1, 1), minval=low, maxval=high)
-    out = (images - 0.5) * c + 0.5
+    linear = (images - 0.5) * c + 0.5
+    gain = jax.random.uniform(k_g, (b, 1, 1, 1), minval=3.0, maxval=11.0)
+    sigmoid = jax.nn.sigmoid(gain * (images - 0.5))
+    pick = _bernoulli(k_pick, b, 0.5)
+    out = jnp.where(pick[:, None, None, None], linear, sigmoid)
     return _blend(_bernoulli(k_apply, b, _OP_P), jnp.clip(out, 0, 1), images)
+
+
+def edge_detect_blobby(key, images, max_alpha=0.15, cell=8):
+    """iaa.BlendAlphaSimplexNoise(iaa.EdgeDetect(alpha=(0, 0.15)))
+    (reference ``:60-62``).
+
+    EdgeDetect convolves with (1-a)*identity + a*[[0,1,0],[1,-4,1],[0,1,0]]
+    and clips, i.e. edged = clip(x + a*(lap(x) - x)).  The simplex-noise
+    blend mask (blobby per-pixel alpha in [0, 1]) is approximated by one
+    octave of low-frequency noise: U(0, 1) drawn at 1/``cell`` resolution
+    and bilinearly upsampled — the same "blend the edge image in random
+    blobs" family, gather-free."""
+    k_apply, k_alpha, k_mask = jax.random.split(key, 3)
+    b, h, w, _ = images.shape
+    a = jax.random.uniform(k_alpha, (b, 1, 1, 1)) * max_alpha
+    xp = jnp.pad(images, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    lap = (xp[:, :-2, 1:-1] + xp[:, 2:, 1:-1] + xp[:, 1:-1, :-2]
+           + xp[:, 1:-1, 2:] - 4.0 * images)
+    edged = jnp.clip(images + a * (lap - images), 0, 1)
+    mask = jax.random.uniform(
+        k_mask, (b, max(h // cell, 1), max(w // cell, 1), 1))
+    mask = jax.image.resize(mask, (b, h, w, 1), method="bilinear")
+    out = images + mask * (edged - images)
+    return _blend(_bernoulli(k_apply, b, _OP_P), out, images)
 
 
 def saturation(key, images, max_shift=20.0 / 255.0):
@@ -294,13 +326,15 @@ def elastic(key, images, alpha_range=(0.5, 3.5)):
     return _blend(_bernoulli(k_apply, b, _OP_P * 0.5), out, images)
 
 
-# Per-op application probability.  The reference draws SomeOf(0..5) from a
-# 10-op pool (uniform count, mean 2.5 -> per-op marginal 0.25); we give each
-# op an independent 0.25 coin (binomial with the same mean/marginals).
-_OP_P = 0.25
+# Per-op application probability.  The reference draws SomeOf(0..5) without
+# replacement from an 11-op pool (count uniform on {0..5}, mean 2.5 -> per-op
+# marginal 2.5/11); we give each op an independent coin with the same
+# marginal (binomial with the same mean/marginals, no order coupling).
+_OP_P = 2.5 / 11.0
 
-PIXELWISE_OPS = (gaussian_blur, sharpen, emboss, additive_noise, brightness,
-                 multiply, contrast, saturation, jpeg_artifacts, elastic)
+PIXELWISE_OPS = (gaussian_blur, sharpen, emboss, edge_detect_blobby,
+                 additive_noise, brightness, multiply, contrast, saturation,
+                 jpeg_artifacts, elastic)
 
 
 def pixelwise_augment(key, images):

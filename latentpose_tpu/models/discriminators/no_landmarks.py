@@ -131,6 +131,15 @@ class Discriminator(nn.Module):
             out = block(out, update_stats=update_stats)
             feats.append(out)
 
+        # Reference aliasing (no_landmarks.py:96-99 + blocks.py:73): each
+        # block's first ReLU(inplace=True) mutates the tensor already stored
+        # in feats, so every feature map except the last is actually relu'd
+        # by the time the feature-matching loss reads it.  The final
+        # ``torch.relu`` (:100) is out-of-place, so feats[-1] stays raw.
+        # Verified against the real reference modules in
+        # tests/test_reference_import_parity.py.
+        feats = [nn.relu(f) for f in feats[:-1]] + feats[-1:]
+
         out = nn.relu(out)
         feat_sum = out.reshape(out.shape[0], -1,
                                self.embed_channels).sum(axis=1)

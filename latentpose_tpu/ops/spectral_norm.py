@@ -107,20 +107,24 @@ class SNConv(nn.Module, _SNMixin):
     # ops/quant.py) — dynamic activation scale + per-channel weight scales.
     # Approximate; only the drive CLI's --quantize int8 enables it.
     quantize: bool = False
+    # grouped conv (torch Conv2d(groups=g)); the power-iteration 2-D view
+    # matches torch's (O, I/g*kh*kw) reshape of its (O, I/g, kh, kw) kernel
+    groups: int = 1
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, update_stats: bool = False):
         in_features = x.shape[-1]
+        in_per_group = in_features // self.groups
         kh, kw = self.kernel_size
         kernel = self.param(
             "kernel", tinit.torch_conv_kernel_init,
-            (kh, kw, in_features, self.features))
+            (kh, kw, in_per_group, self.features))
         # HWIO -> (O, I, H, W) flattened = torch's view(out, -1) order.
         w2d = jnp.transpose(kernel, (3, 2, 0, 1)).reshape(self.features, -1)
         w2d = self._spectral_normalize(w2d, update_stats)
         kernel_sn = jnp.transpose(
-            w2d.reshape(self.features, in_features, kh, kw), (2, 3, 1, 0))
+            w2d.reshape(self.features, in_per_group, kh, kw), (2, 3, 1, 0))
 
         pad = self.padding
         if isinstance(pad, int):
@@ -128,8 +132,8 @@ class SNConv(nn.Module, _SNMixin):
         dtype = self.dtype or x.dtype
         if self.upsample_2x:
             assert self.kernel_size == (3, 3) and self.padding == 1 \
-                and self.strides == (1, 1), \
-                "fused upsample_2x needs a 3x3/pad-1/stride-1 conv"
+                and self.strides == (1, 1) and self.groups == 1, \
+                "fused upsample_2x needs a 3x3/pad-1/stride-1 dense conv"
             from latentpose_tpu.ops.image import (depth_to_space,
                                                   s2d_up_kernel,
                                                   upsample2x_conv3x3,
@@ -148,6 +152,7 @@ class SNConv(nn.Module, _SNMixin):
                 y = upsample2x_conv3x3(x.astype(dtype),
                                        kernel_sn.astype(dtype))
         elif self.quantize:
+            assert self.groups == 1, "int8 path supports dense convs only"
             from latentpose_tpu.ops.quant import conv2d_int8
             y = conv2d_int8(x.astype(dtype), kernel_sn.astype(dtype),
                             self.strides, pad, out_dtype=dtype)
@@ -155,10 +160,11 @@ class SNConv(nn.Module, _SNMixin):
             y = jax.lax.conv_general_dilated(
                 x.astype(dtype), kernel_sn.astype(dtype),
                 window_strides=self.strides, padding=pad,
+                feature_group_count=self.groups,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             bias = self.param("bias",
-                              tinit.torch_bias_init(kh * kw * in_features),
+                              tinit.torch_bias_init(kh * kw * in_per_group),
                               (self.features,))
             if self.upsample_2x and self.s2d_output:
                 bias = jnp.tile(bias, 4)  # channels are (py, px, c)

@@ -57,6 +57,16 @@ class Wrapper:
                         "backward_passes_per_step regime (reference "
                         "train.py:201-211): scale the effective batch "
                         "beyond what fits in HBM at once")
+        parser.add("--grad_dtype", type=str, default="float32",
+                   help="float32|bfloat16.  bfloat16 compresses the "
+                        "cross-device gradient reduction to half the "
+                        "bytes — the analog of the reference's horovod "
+                        "fp16-compressed allreduce (train.py:110-116), "
+                        "for the cross-slice/DCN regime where gradient "
+                        "bytes, not FLOPs, bound step time.  Implemented "
+                        "as an explicit shard_map gradient pass with a "
+                        "bf16 pmean (GSPMD's implicit reduce dtype is "
+                        "not directly controllable).")
         return parser
 
 
@@ -243,7 +253,7 @@ def apply_criteria(criteria, data_dict):
 
 
 def make_train_step(models, criteria, args, opt_g, opt_d, donate=False,
-                    state_shardings=None):
+                    state_shardings=None, mesh=None):
     """Build the jitted train step.
 
     state, batch, rng -> (new_state, scalars) where scalars carries every
@@ -253,6 +263,9 @@ def make_train_step(models, criteria, args, opt_g, opt_d, donate=False,
     parallel/mesh.state_shardings) pins the OUTPUT state's placement — with
     `--param_sharding fsdp` this keeps params/EMA/optimizer moments sharded
     across steps instead of letting GSPMD gather them back to replicated.
+
+    ``mesh`` enables the ``--grad_dtype bfloat16`` compressed-gradient path
+    (explicit shard_map over 'data' with a bf16 pmean).
     """
     finetune = bool(args.finetune)
     ema_alpha = 0.972 if finetune else 0.999  # reference holycow.py:257
@@ -287,6 +300,51 @@ def make_train_step(models, criteria, args, opt_g, opt_d, donate=False,
         return total, (scalars, new_bs, new_spec)
 
     grad_accum = int(getattr(args, "grad_accum_steps", 1) or 1)
+    grad_bf16 = getattr(args, "grad_dtype", "float32") == "bfloat16"
+    if grad_bf16 and grad_accum > 1:
+        raise ValueError("--grad_dtype bfloat16 and --grad_accum_steps > 1 "
+                         "are not composable yet")
+    if grad_bf16 and mesh is None:
+        raise ValueError("--grad_dtype bfloat16 needs a device mesh "
+                         "(--num_devices > 1)")
+
+    def make_bf16_grad_fn(grad_fn):
+        """Explicit-collective DP gradient pass: per-shard backward, then a
+        bf16-compressed cross-shard gradient mean — the analog of the
+        reference's horovod fp16 allreduce (``train.py:110-116``).
+
+        Per-shard semantics deliberately match the reference's per-GPU
+        behavior: batch stats are computed from the LOCAL shard's rows
+        (torch BN under DDP computes per-device stats; the running averages
+        are pmean'd here), loss scalars are pmean'd; spectral-norm power
+        iteration depends only on the (replicated) weights, so its state is
+        identical on every shard.
+        """
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # pre-0.8 jax
+            from jax.experimental.shard_map import shard_map
+
+        def local_grads(trainable, params, bs, spec, local_batch, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            (loss, (scalars, nbs, nspec)), grads = grad_fn(
+                trainable, params, bs, spec, local_batch, rng)
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.pmean(
+                    g.astype(jnp.bfloat16), "data").astype(jnp.float32),
+                grads)
+            scalars = jax.tree_util.tree_map(
+                lambda s: jax.lax.pmean(s, "data"), scalars)
+            nbs = jax.tree_util.tree_map(
+                lambda s: jax.lax.pmean(s, "data"), nbs)
+            return (loss, (scalars, nbs, nspec)), grads
+
+        return shard_map(
+            local_grads, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P("data"), P()),
+            out_specs=((P(), (P(), P(), P())), P()),
+            check_rep=False)
 
     def train_step(state: TrainState, batch, rng):
         rng_aug, rng = jax.random.split(rng)
@@ -294,6 +352,8 @@ def make_train_step(models, criteria, args, opt_g, opt_d, donate=False,
         trainable = {"g": g_trainable(state.params, finetune),
                      "d": d_trainable(state.params)}
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if grad_bf16:
+            grad_fn = make_bf16_grad_fn(grad_fn)
         if grad_accum > 1:
             # Microbatch accumulation under lax.scan: each microbatch runs
             # the full 4-pass GAN forward (BN stats and spectral-norm power

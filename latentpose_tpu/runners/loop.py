@@ -197,8 +197,14 @@ def run_validation(dataloader, eval_forward, state, args, epoch,
 
 def run_epoch(dataloader, step_fn, state, args, epoch, rng,
               mesh=None, writer=None, eval_forward=None, metrics=(),
-              saver=None):
-    """Train one epoch; returns the new state."""
+              saver=None, state_holder=None):
+    """Train one epoch; returns the new state.
+
+    ``state_holder``: optional mutable dict whose ``"state"`` entry is
+    refreshed after every step, so the SIGINT/SIGTERM save handler
+    (cli/train.py) checkpoints the CURRENT model mid-epoch — reference
+    semantics, where the handler reads the live module state
+    (``train.py:176-194``)."""
     meter = Meter()
     end = time.time()
 
@@ -226,6 +232,8 @@ def run_epoch(dataloader, step_fn, state, args, epoch, rng,
 
         step_rng = jax.random.fold_in(rng, int(args.iteration))
         state, scalars = step_fn(state, batch, step_rng)
+        if state_holder is not None:
+            state_holder["state"] = state
 
         if args.detailed_metrics:
             for name, value in scalars.items():

@@ -246,11 +246,12 @@ def test_displace_axis_matches_gather_bilinear():
 
 
 def test_pixelwise_pool_is_complete():
-    """Reference SomeOf pool families (augmentation.py:44-82): blur,
-    sharpen, emboss, noise, add, saturation, jpeg, multiply, contrast,
-    elastic."""
+    """Reference SomeOf pool families (augmentation.py:44-81), all 11: blur,
+    sharpen, emboss, edge-detect-in-blobs, noise, add, saturation, jpeg,
+    multiply, contrast, elastic."""
     from latentpose_tpu.data import augmentation as aug
     names = {f.__name__ for f in aug.PIXELWISE_OPS}
-    assert names == {"gaussian_blur", "sharpen", "emboss", "additive_noise",
-                     "brightness", "multiply", "contrast", "saturation",
-                     "jpeg_artifacts", "elastic"}
+    assert names == {"gaussian_blur", "sharpen", "emboss",
+                     "edge_detect_blobby", "additive_noise", "brightness",
+                     "multiply", "contrast", "saturation", "jpeg_artifacts",
+                     "elastic"}

@@ -121,10 +121,12 @@ class TorchFSTHEmbedder(tnn.Module):
             torch_sn(tnn.Conv2d(6, 8, 1), eps=1e-4), tnn.AvgPool2d(2))
 
         def down(cin, cout):
+            # inplace=True: reference blocks.py:73 — the first ReLU
+            # mutates the block input, so the skip path sees relu(x)
             return tnn.Sequential(
-                tnn.ReLU(), tnn.Sequential(),
+                tnn.ReLU(inplace=True), tnn.Sequential(),
                 torch_sn(tnn.Conv2d(cin, cout, 3, 1, 1), eps=1e-4),
-                tnn.ReLU(), tnn.Sequential(),
+                tnn.ReLU(inplace=True), tnn.Sequential(),
                 torch_sn(tnn.Conv2d(cout, cout, 3, 1, 1), eps=1e-4),
                 tnn.AvgPool2d(2))
 

@@ -168,3 +168,72 @@ def test_train_step_fsdp_matches_single_device():
     # another step from the sharded state runs (steady-state shape)
     s8b, _ = step_fn(s8, batch_s, jax.random.fold_in(rng, 1))
     assert len(sharded_leaves(s8b.params)) >= 4
+
+
+def test_train_step_bf16_grads_parity_and_wire_format():
+    """`--grad_dtype bfloat16` (the horovod fp16-compressed-allreduce analog,
+    reference train.py:110-116): the explicit shard_map gradient path must
+    (a) put a bf16 all-reduce on the wire — verified in the compiled HLO,
+    (b) keep losses equal to the f32 path (the forward is untouched), and
+    (c) land within bf16-rounding distance of the f32 path's updated params.
+    """
+    import re
+
+    from latentpose_tpu.runners import holycow
+
+    (args, models, criteria, opt_g, opt_d, state, batch, rng) = _toy_trio()
+
+    base_fn = holycow.make_train_step(models, criteria, args, opt_g, opt_d)
+    s1, scalars1 = base_fn(state, batch, rng)
+
+    mesh = create_mesh(8)
+    args.grad_dtype = "bfloat16"
+    step_fn = holycow.make_train_step(models, criteria, args, opt_g, opt_d,
+                                      mesh=mesh)
+    state_r = replicate(state, mesh)
+    batch_s = shard_batch(batch, mesh)
+
+    # check the lowered module (backend compilers rewrite collectives in
+    # ways that obscure the dtype in compiled text; the wire dtype is fixed
+    # at lowering): most all_reduce ops must carry bf16 tensors — only the
+    # scalar/batch-stat pmeans stay f32
+    txt = step_fn.lower(state_r, batch_s, rng).as_text()
+    blocks = re.findall(r"stablehlo\.all_reduce.{0,600}?->\s*tensor<[^>]*>",
+                        txt, re.S)
+    n_bf16 = sum("bf16" in b for b in blocks)
+    assert blocks and n_bf16 >= len(blocks) * 0.5, (len(blocks), n_bf16)
+
+    s8, scalars8 = step_fn(state_r, batch_s, rng)
+    # per-shard losses then pmean == the reference's per-GPU DDP/horovod
+    # semantics.  Per-sample-decomposable losses match exactly; dice is a
+    # batch-GLOBAL ratio of sums (criterions/dice.py:30-34), so the mean of
+    # per-shard dices differs from the global-batch dice by O(1e-3) here —
+    # semantic, not numerical error
+    np.testing.assert_allclose(float(scalars1["loss_G"]),
+                               float(scalars8["loss_G"]), rtol=2e-2)
+    np.testing.assert_allclose(float(scalars1["loss_D"]),
+                               float(scalars8["loss_D"]), rtol=2e-2)
+    np.testing.assert_allclose(float(scalars1["Loss_adversarial_G"]),
+                               float(scalars8["Loss_adversarial_G"]),
+                               rtol=1e-4)
+    # params: the only difference is bf16 rounding of the gradient mean;
+    # Adam normalizes by grad magnitude, so the update-space error is
+    # bounded by bf16's ~2^-8 relative precision (plus moment noise)
+    for leaf1, leaf8 in zip(jax.tree_util.tree_leaves(s1.params),
+                            jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(leaf1), np.asarray(leaf8),
+                                   rtol=2e-2, atol=2e-3)
+
+
+def test_grad_dtype_guards():
+    """bf16 grads need a mesh and do not compose with grad accumulation."""
+    from latentpose_tpu.runners import holycow
+
+    (args, models, criteria, opt_g, opt_d, *_rest) = _toy_trio()
+    args.grad_dtype = "bfloat16"
+    with pytest.raises(ValueError, match="mesh"):
+        holycow.make_train_step(models, criteria, args, opt_g, opt_d)
+    args.grad_accum_steps = 2
+    with pytest.raises(ValueError, match="not composable"):
+        holycow.make_train_step(models, criteria, args, opt_g, opt_d,
+                                mesh=create_mesh(8))

@@ -123,3 +123,35 @@ def test_drive_cli_accepts_quantize_flag(tmp_path):
     # measured 50.7 dB here; gate near the margin (VERDICT r2 Weak #3)
     assert psnr > 40.0, f"int8 drive too far from exact: {psnr:.1f} dB"
 
+
+
+def test_int8_gate_rearms_on_weight_arrival(tmp_path, monkeypatch):
+    """The int8 PSNR gate auto-detects a converted reference checkpoint and
+    switches from the random-weights proxy to the armed absolute gate
+    (VERDICT r3 item 8)."""
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import check_int8_quality as gate
+
+    # no weights anywhere -> proxy mode
+    monkeypatch.setenv("LATENTPOSE_WEIGHTS_DIR", str(tmp_path / "empty"))
+    params, source = gate.find_trained_generator()
+    assert params is None and "proxy" in source
+
+    # fabricate a converted checkpoint (WEIGHTS.md recipe #2 layout)
+    ckpt = tmp_path / "converted_ckpt"
+    ckpt.mkdir()
+    flat = {"params::generator::leaf": np.ones(3, np.float32),
+            "ema_params::generator::leaf": np.full(3, 2.0, np.float32)}
+    np.savez(ckpt / "arrays.npz", **flat)
+    (ckpt / "meta.json").write_text('{"iteration": 2924000, "args": {}}')
+
+    monkeypatch.setenv("LATENTPOSE_WEIGHTS_DIR", str(tmp_path))
+    params, source = gate.find_trained_generator()
+    assert params is not None
+    assert "EMA" in source  # prefers the EMA copy like drive.py does
+    np.testing.assert_array_equal(params["leaf"], 2.0)

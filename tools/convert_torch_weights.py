@@ -136,6 +136,11 @@ def bn(sd, prefix):
 # Reference ResBlock (generators/common/blocks.py:47-111) -> our ResBlock
 # --------------------------------------------------------------------------
 
+def _j(prefix, rest):
+    """Join a (possibly empty) state-dict prefix with a sub-key."""
+    return f"{prefix}.{rest}" if prefix else rest
+
+
 def convert_resblock(sd, prefix, normalize, upsample, downsample):
     """Returns (params, spectral) for nn/blocks.ResBlock.
 
@@ -143,32 +148,130 @@ def convert_resblock(sd, prefix, normalize, upsample, downsample):
     (Up), pad, conv0, norm1, ReLU, pad, conv1, (Pool)]; without norm the
     norms are absent.  AdaptiveNorm2d has no stored params.
     """
+    params, spectral = {}, {}
+
+    def take_norm(name, idx):
+        # 'in' norms (InstanceNorm2d affine=True) carry weight/bias;
+        # 'ada*' norms are paramless — nothing to capture then.
+        key = _j(prefix, f"block.{idx}.weight")
+        if key in sd:
+            params[name] = {"weight": sd[key],
+                            "bias": sd[_j(prefix, f"block.{idx}.bias")]}
+
     idx = 0
     if normalize:
-        idx += 1  # norm0 (no params)
+        take_norm("norm0", idx)
+        idx += 1  # norm0
     idx += 1      # ReLU
     if upsample:
         idx += 1  # Upsample
     idx += 1      # empty pad Sequential
-    conv0 = f"{prefix}.block.{idx}"
+    conv0 = _j(prefix, f"block.{idx}")
     idx += 1
     if normalize:
+        take_norm("norm1", idx)
         idx += 1  # norm1
     idx += 1      # ReLU
     idx += 1      # pad
-    conv1 = f"{prefix}.block.{idx}"
+    conv1 = _j(prefix, f"block.{idx}")
 
-    params, spectral = {}, {}
     p, s = sn_conv(sd, conv0)
     params["conv0"], spectral["conv0"] = p, s
     p, s = sn_conv(sd, conv1)
     params["conv1"], spectral["conv1"] = p, s
 
-    skip_conv = f"{prefix}.skip.{1 if upsample else 0}"
+    skip_conv = _j(prefix, f"skip.{1 if upsample else 0}")
     if skip_conv + ".weight_orig" in sd:
         p, s = sn_conv(sd, skip_conv)
         params["skip"], spectral["skip"] = p, s
     return params, spectral
+
+
+def convert_shuffle_conv(sd, prefix):
+    """Reference shuffleConv (blocks.py:142-164) -> our ShuffleConv.
+
+    Grouped branch: SN convs at Sequential indices 0/3/5; fallback branch:
+    one SN conv at index 0.  Branch detected from the state dict."""
+    params, spectral = {}, {}
+    if _j(prefix, "block.3.weight_orig") in sd:
+        for ours, idx in (("conv0", 0), ("conv1", 3), ("conv2", 5)):
+            p, s = sn_conv(sd, _j(prefix, f"block.{idx}"))
+            params[ours], spectral[ours] = p, s
+    else:
+        p, s = sn_conv(sd, _j(prefix, "block.0"))
+        params["conv"], spectral["conv"] = p, s
+    return params, spectral
+
+
+def _convert_preact_block(sd, prefix, normalize, upsample, has_pads,
+                          shuffle):
+    """Shared walker for the pre-activation block family.
+
+    Sequential layout: [norm0?] act [up?] (pad?) conv0 [norm1?] act (pad?)
+    conv1 [pool?]; skip = [up?] conv.  ``has_pads`` covers the original
+    ResBlock's zero-pad placeholder Sequentials (absent in the
+    shuffle/V2 variants).  'in' norms (InstanceNorm2d affine=True) carry
+    weight/bias; 'ada*' norms are paramless."""
+    params, spectral = {}, {}
+    idx = 0
+
+    def take_norm(name):
+        nonlocal idx
+        if normalize:
+            key = _j(prefix, f"block.{idx}.weight")
+            if key in sd:
+                params[name] = {"weight": sd[key],
+                                "bias": sd[_j(prefix, f"block.{idx}.bias")]}
+            idx += 1
+
+    def take_conv(name):
+        nonlocal idx
+        if has_pads:
+            idx += 1
+        if shuffle:
+            p, s = convert_shuffle_conv(sd, _j(prefix, f"block.{idx}"))
+        else:
+            p, s = sn_conv(sd, _j(prefix, f"block.{idx}"))
+        params[name], spectral[name] = p, s
+        idx += 1
+
+    take_norm("norm0")
+    idx += 1  # activation
+    if upsample:
+        idx += 1
+    take_conv("sc0" if shuffle else "conv0")
+    take_norm("norm1")
+    idx += 1  # activation
+    take_conv("sc1" if shuffle else "conv1")
+
+    skip_prefix = _j(prefix, f"skip.{1 if upsample else 0}")
+    skip_probe = (f"{skip_prefix}.block.0.weight_orig" if shuffle
+                  else f"{skip_prefix}.weight_orig")
+    if skip_probe in sd:
+        if shuffle:
+            p, s = convert_shuffle_conv(sd, skip_prefix)
+        else:
+            p, s = sn_conv(sd, skip_prefix)
+        params["skip"], spectral["skip"] = p, s
+    return params, spectral
+
+
+def convert_resblock_shuffle(sd, prefix, normalize, upsample):
+    """Reference ResBlockShuffle (blocks.py:167-235) -> our ResBlockShuffle."""
+    return _convert_preact_block(sd, prefix, normalize, upsample,
+                                 has_pads=False, shuffle=True)
+
+
+def convert_resblock_v2(sd, prefix, normalize, upsample):
+    """Reference ResBlockV2 (blocks.py:239-301) -> our ResBlockV2."""
+    return _convert_preact_block(sd, prefix, normalize, upsample,
+                                 has_pads=False, shuffle=False)
+
+
+def convert_resblock_v2_shuffle(sd, prefix, normalize, upsample):
+    """Reference ResBlockV2Shuffle (blocks.py:303-368) -> ours."""
+    return _convert_preact_block(sd, prefix, normalize, upsample,
+                                 has_pads=False, shuffle=True)
 
 
 # --------------------------------------------------------------------------
