@@ -166,11 +166,12 @@ def bench_train_step(with_augs=True):
     sys.stdout.flush()
     if with_augs:
         emit_mfu("train_step_mfu", compiled_flops(compiled), ms / 1e3)
-        bench_train_e2e(compiled, state, rng, batch, ms)
+        bench_train_e2e(step_fn, compiled, state, rng, batch, ms)
     return ms
 
 
-def bench_train_e2e(compiled, state, rng, batch, compiled_ms, n_steps=50):
+def bench_train_e2e(step_fn, compiled, state, rng, batch, compiled_ms,
+                    n_steps=50):
     """Wall-clock steps/s INCLUDING the host input pipeline: SyntheticDataset
     -> BatchLoader (threaded prefetch) -> jitted step, >=50 steps (VERDICT r3
     item 4 — turns the 'N host cores needed' extrapolation into an
@@ -190,8 +191,12 @@ def bench_train_e2e(compiled, state, rng, batch, compiled_ms, n_steps=50):
     from latentpose_tpu.data.synthetic import SyntheticDataset
 
     cores = os.cpu_count() or 1
-    dataset = SyntheticDataset(256, num_labels=16, num_enc_frames=8,
-                               frames_per_video=32)
+    # 8 labels x 16 frames @256² ≈ 128 MB of rendered frames — fits the
+    # synthetic renderer's 256 MB slab cache, so epochs >= 2 are cache-warm
+    # (16 labels x 32 frames would thrash the slab and measure rendering,
+    # not the loop)
+    dataset = SyntheticDataset(256, num_labels=8, num_enc_frames=8,
+                               frames_per_video=16)
     loader = BatchLoader(dataset, batch, shuffle=True, seed=0,
                          num_workers=min(cores, 8),
                          prefetch_size=4 * batch, shard_by_process=False)
@@ -216,6 +221,32 @@ def bench_train_e2e(compiled, state, rng, batch, compiled_ms, n_steps=50):
         "vs_baseline": round(compiled_ms / e2e_ms, 3),
     }))
     sys.stdout.flush()
+
+    # --transfer_dtype uint8 wire format: 4x fewer H2D bytes (the in-step
+    # dequantize is runners/holycow.dequantize_batch) — the lever when the
+    # host->device link, not the step, bounds end-to-end throughput
+    try:
+        from latentpose_tpu.runners.loop import quantize_batch_u8
+        it_u8 = (quantize_batch_u8(b) for b in batches())
+        first = next(it_u8)
+        compiled_u8 = step_fn.lower(state, first, rng).compile()
+        state, _ = compiled_u8(state, first, rng)
+        jax.block_until_ready(state.params)
+        start = time.perf_counter()
+        for i in range(n_steps):
+            state, _ = compiled_u8(state, next(it_u8),
+                                   jax.random.fold_in(rng, i))
+        jax.block_until_ready(state.params)
+        u8_ms = (time.perf_counter() - start) / n_steps * 1e3
+        print(json.dumps({
+            "metric": "train_step_ms_256_e2e_u8",
+            "value": round(u8_ms, 1),
+            "unit": f"ms/step incl. uint8-wire input ({cores} host cores)",
+            "vs_baseline": round(compiled_ms / u8_ms, 3),
+        }))
+        sys.stdout.flush()
+    except Exception as exc:
+        print(f"uint8 e2e bench failed: {exc}", file=sys.stderr)
     return e2e_ms
 
 

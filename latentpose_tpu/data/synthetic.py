@@ -30,6 +30,10 @@ class Wrapper:
                         "9 frames: 8 enc + 1 driver)")
         parser.add("--synthetic_num_labels", type=int, default=16)
         parser.add("--synthetic_frames_per_video", type=int, default=32)
+        # emit enc_stickmen/dec_stickmen/dec_keypoints so the FSTH /
+        # FSTH_plus / no_pose families run hermetically through the CLI
+        parser.add("--synthetic_stickmen", action="store_bool",
+                   default=False)
         # augmentation runs inside the jitted step (runners/holycow.py), so
         # the synthetic loader supports the same flags as the VoxCeleb ones
         # (needed to rehearse reference-parity meta-training hermetically)
@@ -47,6 +51,7 @@ class Wrapper:
             finetune=bool(getattr(args, "finetune", False)),
             inference=bool(getattr(args, "inference", False)),
             seed=args.random_seed + (0 if part == "train" else 1),
+            stickmen=bool(getattr(args, "synthetic_stickmen", False)),
         )
 
 
@@ -172,6 +177,92 @@ def _render_face_uncached(label: int, frame: int, image_size: int):
         head[..., None], dtype=np.float32))
 
 
+def synthetic_keypoints(label: int, frame: int, image_size: int):
+    """68-point face landmarks (iBUG-68 layout) for the procedural face —
+    derived from the same geometry as :func:`_render_face_uncached` (head
+    ellipse, eyes, mouth), so keypoints/stickmen are consistent with the
+    rendered pose.  Returns (68, 2) float32 pixel coordinates.
+
+    Lets the FSTH / FSTH_plus / no_pose model families (which consume
+    ``enc_stickmen`` / ``dec_stickmen`` / ``dec_keypoints``) run hermetically
+    through the production CLI, like the flagship does."""
+    _, _, size, eye_sep = _identity_style(label)
+    yaw, pitch, mouth = _pose_of_frame(frame)
+    cx = 0.5 * yaw * size
+    cy = 0.5 * pitch * size
+    pts = np.zeros((68, 2), np.float32)
+
+    # jaw / face oval (0-16): lower half of the head ellipse, left->right
+    a = np.linspace(0.95 * np.pi, 0.05 * np.pi, 17)
+    pts[0:17, 0] = cx + size * np.cos(a)
+    pts[0:17, 1] = cy + 1.25 * size * np.sin(a)
+
+    eye_centers = {}
+    for key, side in (("l", -1), ("r", 1)):
+        ex = cx + side * eye_sep * size * 0.5 + 0.3 * yaw * size
+        ey = cy - 0.35 * size + 0.2 * pitch * size
+        eye_centers[key] = (ex, ey)
+
+    # brows (17-21 left, 22-26 right): flat arcs above the eyes
+    for start, key in ((17, "l"), (22, "r")):
+        ex, ey = eye_centers[key]
+        pts[start:start + 5, 0] = np.linspace(ex - 0.18 * size,
+                                              ex + 0.18 * size, 5)
+        pts[start:start + 5, 1] = ey - 0.22 * size
+
+    # nose bridge (27-30) + base (31-35)
+    pts[27:31, 0] = cx
+    pts[27:31, 1] = np.linspace(cy - 0.2 * size, cy + 0.25 * size, 4)
+    pts[31:36, 0] = cx + np.linspace(-0.12, 0.12, 5) * size
+    pts[31:36, 1] = cy + 0.3 * size
+
+    # eyes (36-41 left, 42-47 right): hexagons at the rendered eye circles
+    for start, key in ((36, "l"), (42, "r")):
+        ex, ey = eye_centers[key]
+        ang = np.linspace(0, 2 * np.pi, 7)[:6]
+        pts[start:start + 6, 0] = ex + 0.12 * size * np.cos(ang)
+        pts[start:start + 6, 1] = ey + 0.12 * size * np.sin(ang)
+
+    # mouth: outer ellipse (48-59) + inner (60-67); height tracks openness
+    mw = 0.3 * size
+    mh = 0.05 * size + 0.12 * size * mouth
+    myc = cy + 0.55 * size
+    ang = np.linspace(0, 2 * np.pi, 13)[:12]
+    pts[48:60, 0] = cx + mw * np.cos(ang)
+    pts[48:60, 1] = myc + mh * np.sin(ang)
+    ang = np.linspace(0, 2 * np.pi, 9)[:8]
+    pts[60:68, 0] = cx + 0.7 * mw * np.cos(ang)
+    pts[60:68, 1] = myc + 0.7 * mh * np.sin(ang)
+
+    return (pts + 0.5) * image_size  # grid coords [-0.5, 0.5] -> pixels
+
+
+def render_stickman(label: int, frame: int, image_size: int):
+    """Rasterize the synthetic landmarks through the SAME polyline renderer
+    the VoxCeleb pipeline uses (data/common/voxceleb.py STICKMAN_PARTS), so
+    hermetic FSTH runs exercise the production stickman code.  (H, W, 3)
+    float32 in [0, 1], cached like the face renders."""
+    global _render_cache_bytes
+    key = ("stick", int(label), int(frame) % 32, int(image_size))
+    hit = _render_cache.get(key)
+    if hit is not None:
+        return hit
+    from latentpose_tpu.data.common.voxceleb import (STICKMAN_OVAL,
+                                                     STICKMAN_PARTS)
+    import cv2
+    kp = synthetic_keypoints(label, frame, image_size)
+    stickman = np.zeros((image_size, image_size, 3), np.uint8)
+    for edges, closed, color in [STICKMAN_OVAL] + STICKMAN_PARTS:
+        pts = np.round(kp[edges]).astype(np.int32)
+        cv2.polylines(stickman, [pts], closed, color, thickness=2)
+    out = stickman.astype(np.float32) / 255.0
+    if _render_cache_bytes + out.nbytes <= _RENDER_CACHE_CAP:
+        out = _slab_pool.store(out)
+        _render_cache[key] = out
+        _render_cache_bytes += out.nbytes
+    return out
+
+
 class _SyntheticSampleLoader:
     """Minimal ``SampleLoader`` stand-in so the fixed-probe path
     (``runners/loop.py:run_fixed_id_eval``) can toggle deterministic frame
@@ -189,12 +280,13 @@ class SyntheticDataset:
     cross-driving grids (reference ``holycow.py:266-342``)."""
 
     def __init__(self, image_size, num_labels, num_enc_frames,
-                 frames_per_video, inference=False):
+                 frames_per_video, inference=False, stickmen=False):
         self.image_size = image_size
         self.num_labels = num_labels
         self.num_enc_frames = num_enc_frames
         self.frames_per_video = frames_per_video
         self.inference = inference
+        self.stickmen = stickmen
         self.loader = _SyntheticSampleLoader()
 
     def __len__(self):
@@ -210,6 +302,16 @@ class SyntheticDataset:
         driver, segm = render_face(label, int(frames[-1]), self.image_size)
         data_dict = {"enc_rgbs": enc,
                      "pose_input_rgbs": driver[None].astype(np.float32)}
+        if self.stickmen:
+            data_dict["enc_stickmen"] = np.stack(
+                [render_stickman(label, f, self.image_size)
+                 for f in frames[:-1]]).astype(np.float32)
+            data_dict["dec_stickmen"] = render_stickman(
+                label, int(frames[-1]), self.image_size)[None]
+            data_dict["dec_keypoints"] = (
+                synthetic_keypoints(label, int(frames[-1]),
+                                    self.image_size).flatten()
+                / self.image_size)[None]
         target_dict = {"label": int(label)}
         if not self.inference:
             data_dict["target_rgbs"] = \
@@ -241,7 +343,8 @@ class SyntheticDataLoader:
 
     def __init__(self, image_size, batch_size, num_labels, num_enc_frames=8,
                  frames_per_video=32, finetune=False, inference=False,
-                 seed=0, steps_per_epoch=None):
+                 seed=0, steps_per_epoch=None, stickmen=False):
+        self.stickmen = stickmen
         self.image_size = image_size
         self.batch_size = batch_size
         self.num_labels = num_labels
@@ -261,12 +364,12 @@ class SyntheticDataLoader:
         # (meta mode only; the fine-tune loop never cross-drives)
         self.dataset = None if finetune else SyntheticDataset(
             image_size, self.num_labels, num_enc_frames, frames_per_video,
-            inference=inference)
+            inference=inference, stickmen=stickmen)
 
     def __len__(self):
         return self.steps_per_epoch
 
-    def sample(self, label: int, rng: np.random.RandomState):
+    def sample(self, label: int, rng: np.random.RandomState, extras=None):
         frames = rng.randint(0, self.frames_per_video,
                              size=self.num_enc_frames + 2)
         if self.finetune:
@@ -274,12 +377,25 @@ class SyntheticDataLoader:
             img, segm = render_face(label, f, self.image_size)
             enc = np.stack([img] * self.num_enc_frames)
             driver, target, tsegm = img, img, segm
+            enc_frames, drv_frame = [f] * self.num_enc_frames, f
         else:
             enc = np.stack([
                 render_face(label, f, self.image_size)[0]
                 for f in frames[:self.num_enc_frames]])
             driver, _ = render_face(label, frames[-2], self.image_size)
             target, tsegm = render_face(label, frames[-2], self.image_size)
+            enc_frames, drv_frame = frames[:self.num_enc_frames], frames[-2]
+        if self.stickmen and extras is not None:
+            extras.append({
+                "enc_stickmen": np.stack(
+                    [render_stickman(label, f, self.image_size)
+                     for f in enc_frames]).astype(np.float32),
+                "dec_stickmen": render_stickman(
+                    label, int(drv_frame), self.image_size)[None],
+                "dec_keypoints": (synthetic_keypoints(
+                    label, int(drv_frame), self.image_size).flatten()
+                    / self.image_size)[None],
+            })
         return enc, driver, target, tsegm
 
     def get_batch(self, it: int):
@@ -287,9 +403,9 @@ class SyntheticDataLoader:
             self.seed + it + 100003 * self.epoch
             if not self.deterministic else 666 + it)
         labels = rng.randint(0, self.num_labels, size=self.batch_size)
-        encs, drivers, targets, segms = [], [], [], []
+        encs, drivers, targets, segms, extras = [], [], [], [], []
         for lb in labels:
-            e, d, t, s = self.sample(int(lb), rng)
+            e, d, t, s = self.sample(int(lb), rng, extras)
             encs.append(e)
             drivers.append(d)
             targets.append(t)
@@ -298,6 +414,9 @@ class SyntheticDataLoader:
             "enc_rgbs": np.stack(encs).astype(np.float32),
             "pose_input_rgbs": np.stack(drivers)[:, None].astype(np.float32),
         }
+        if extras:
+            for key in extras[0]:
+                data_dict[key] = np.stack([x[key] for x in extras])
         target_dict = {
             "target_rgbs": (np.stack(targets)
                             * np.stack(segms))[:, None].astype(np.float32),

@@ -39,4 +39,11 @@ class Discriminator(no_landmarks.Discriminator):
         stickman = batch["dec_stickmen"]
         if stickman.ndim > 4:
             stickman = stickman[:, 0]
-        return jnp.concatenate([stickman, rgbs], axis=-1)
+        # Reference quirk (discriminators/FSTH.py:160-164): ``torch.cat([
+        # stickmen, rgbs], dim=2).view(b, -1, h, w)`` concatenates along
+        # HEIGHT and views back, so the effective channel order is the
+        # INTERLEAVE [s0, r0, s1, r1, s2, r2], not a plain channel concat.
+        # Verified against the real module in
+        # tests/test_reference_import_parity_fsth.py.
+        return jnp.stack([stickman, rgbs], axis=-1).reshape(
+            rgbs.shape[:3] + (stickman.shape[-1] + rgbs.shape[-1],))

@@ -13,12 +13,29 @@ import logging
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from latentpose_tpu.parallel.mesh import shard_batch
 from latentpose_tpu.runners.holycow import forward
 from latentpose_tpu.utils.meter import Meter
 from latentpose_tpu.utils.visualize import make_visual
+
+# image keys quantized on the wire under --transfer_dtype uint8
+_TRANSFER_IMAGE_KEYS = ("enc_rgbs", "pose_input_rgbs", "target_rgbs",
+                        "real_segm", "enc_stickmen", "dec_stickmen")
+
+
+def quantize_batch_u8(batch):
+    """Host side of --transfer_dtype uint8: [0,1] f32 image arrays ->
+    uint8 bytes (the jitted step rescales on device —
+    runners/holycow.dequantize_batch).  4x fewer host->device bytes."""
+    out = dict(batch)
+    for key in _TRANSFER_IMAGE_KEYS:
+        value = out.get(key)
+        if value is not None and getattr(value, "dtype", None) == np.float32:
+            out[key] = (value * 255.0 + 0.5).astype(np.uint8)
+    return out
 
 logger = logging.getLogger("latentpose_tpu.loop")
 
@@ -227,6 +244,8 @@ def run_epoch(dataloader, step_fn, state, args, epoch, rng,
                 logger.info("Profiler trace written to %s", profile_dir)
         meter.add("Data_time", time.time() - end)
         batch = {**data_dict, **target_dict}
+        if getattr(args, "transfer_dtype", "float32") == "uint8":
+            batch = quantize_batch_u8(batch)
         if mesh is not None:
             batch = shard_batch(batch, mesh)
 
@@ -247,7 +266,13 @@ def run_epoch(dataloader, step_fn, state, args, epoch, rng,
             if (args.iteration % args.log_frequency_images == 0
                     and eval_forward is not None):
                 outputs = eval_forward(state, batch)
-                visual_dict = {**batch,
+                # visuals render f32 [0,1]; undo the uint8 wire format
+                shown = {k: (np.asarray(v, np.float32) / 255.0
+                             if getattr(v, "dtype", None) == jnp.uint8
+                             or getattr(v, "dtype", None) == np.uint8
+                             else v)
+                         for k, v in batch.items()}
+                visual_dict = {**shown,
                                **{k: np.asarray(v)
                                   for k, v in outputs.items()}}
                 if not args.finetune:

@@ -237,3 +237,37 @@ def test_grad_dtype_guards():
     with pytest.raises(ValueError, match="not composable"):
         holycow.make_train_step(models, criteria, args, opt_g, opt_d,
                                 mesh=create_mesh(8))
+
+
+def test_transfer_dtype_uint8_wire_parity():
+    """--transfer_dtype uint8 (4x fewer H2D bytes): quantizing the batch to
+    the uint8 wire format and dequantizing inside the step must match the
+    f32 path run on the SAME quantized values exactly — i.e. the only
+    difference is the documented 8-bit rounding of the source pixels, never
+    the step math."""
+    from latentpose_tpu.runners import holycow
+    from latentpose_tpu.runners.loop import quantize_batch_u8
+
+    (args, models, criteria, opt_g, opt_d, state, batch, rng) = _toy_trio()
+    step_fn = holycow.make_train_step(models, criteria, args, opt_g, opt_d)
+
+    q = quantize_batch_u8(batch)
+    assert q["enc_rgbs"].dtype == np.uint8
+    assert q["label"].dtype != np.uint8  # only image keys quantized
+
+    deq = {k: (v.astype(np.float32) / 255.0 if v.dtype == np.uint8 else v)
+           for k, v in q.items()}
+    s_u8, scal_u8 = step_fn(state, q, rng)
+    s_f32, scal_f32 = step_fn(state, deq, rng)
+
+    np.testing.assert_allclose(float(scal_u8["loss_G"]),
+                               float(scal_f32["loss_G"]), rtol=1e-6)
+    # not bit-exact: XLA fuses the in-step /255 into its consumers, which
+    # reorders f32 ops vs the pre-divided program; like the mesh-parity
+    # test above, Adam's rsqrt amplifies that float noise for near-zero
+    # second moments — the tolerance still catches any real wire-format bug
+    # (a mis-scaled dequant is a ~255x error)
+    for a, b in zip(jax.tree_util.tree_leaves(s_u8.params),
+                    jax.tree_util.tree_leaves(s_f32.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-4)

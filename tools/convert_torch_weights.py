@@ -141,18 +141,25 @@ def _j(prefix, rest):
     return f"{prefix}.{rest}" if prefix else rest
 
 
-def convert_resblock(sd, prefix, normalize, upsample, downsample):
+def convert_resblock(sd, prefix, normalize, upsample, downsample,
+                     capture_norms=True):
     """Returns (params, spectral) for nn/blocks.ResBlock.
 
     torch Sequential indices (zero padding): with norm: [norm0, ReLU,
     (Up), pad, conv0, norm1, ReLU, pad, conv1, (Pool)]; without norm the
-    norms are absent.  AdaptiveNorm2d has no stored params.
+    norms are absent.  AdaptiveNorm2d normally has no stored params —
+    but after FSTH's make_affine_params_trainable the assigned per-sample
+    (weight, bias) become Parameters and appear in the state dict; pass
+    ``capture_norms=False`` for 'ada*' blocks so those fine-tune leaves are
+    not mistaken for InstanceNorm affine params (they are carried by the
+    finetune_affine state leaf instead).
     """
     params, spectral = {}, {}
 
     def take_norm(name, idx):
-        # 'in' norms (InstanceNorm2d affine=True) carry weight/bias;
-        # 'ada*' norms are paramless — nothing to capture then.
+        # 'in' norms (InstanceNorm2d affine=True) carry weight/bias
+        if not capture_norms:
+            return
         key = _j(prefix, f"block.{idx}.weight")
         if key in sd:
             params[name] = {"weight": sd[key],
@@ -320,6 +327,118 @@ def convert_flagship_generator(sd, prefix="", num_blocks=None,
     if pf + "identity_embedding" in sd:  # fine-tuned checkpoint
         extra["finetune_embedding"] = sd[pf + "identity_embedding"]
     return params, spectral, extra
+
+
+# --------------------------------------------------------------------------
+# FSTH family (embedders/FSTH.py, embedders/no_pose_encoder.py,
+# generators/FSTH.py, generators/FSTH_plus.py, discriminators/FSTH.py)
+# --------------------------------------------------------------------------
+
+def _convert_padded_stem(sd, prefix, params, spectral):
+    """Stem with explicit pad placeholders: convs at down_block.1/.4,
+    skip conv at skip.0 (FSTH embedder :38-49 / generator :50-65 /
+    discriminator :52-67; unlike no_landmarks, whose pads are commented
+    out so its convs sit at .0/.2)."""
+    for ours, theirs in (("stem_conv0", "down_block.1"),
+                         ("stem_conv1", "down_block.4"),
+                         ("stem_skip", "skip.0")):
+        p, s = sn_conv(sd, _j(prefix, theirs))
+        params[ours], spectral[ours] = p, s
+
+
+def convert_fsth_embedder(sd, prefix=""):
+    """FSTH / no_pose encoder tower -> our SumPoolEncoder tree (module
+    name 'encoder'; blocks named block1..block{n} to keep the reference's
+    'stem counts as block 0' indexing)."""
+    params, spectral = {}, {}
+    _convert_padded_stem(sd, prefix, params, spectral)
+    n = _infer_module_count(sd, prefix, "down_blocks.{}.")
+    for i in range(n):
+        p, s = convert_resblock(sd, _j(prefix, f"down_blocks.{i}"),
+                                normalize=False, upsample=False,
+                                downsample=True)
+        params[f"block{i + 1}"], spectral[f"block{i + 1}"] = p, s
+    return {"encoder": params}, {"encoder": spectral}
+
+
+def convert_fsth_generator(sd, prefix=""):
+    """generators/FSTH.py -> our models/generators/FSTH.Generator."""
+    params, spectral = {}, {}
+    _convert_padded_stem(sd, prefix, params, spectral)
+    n_down = _infer_module_count(sd, prefix, "down_blocks.{}.")
+    for i in range(n_down):
+        p, s = convert_resblock(sd, _j(prefix, f"down_blocks.{i}"),
+                                normalize=True, upsample=False,
+                                downsample=True)
+        params[f"down{i}"], spectral[f"down{i}"] = p, s
+
+    # count only ResBlocks ("…{i}.block." keys): after fine-tuning the
+    # trailing head AdaptiveNorm2d gains trainable weight/bias leaves that
+    # would otherwise inflate the plain index scan
+    n_dec = _infer_module_count(sd, prefix, "decoder_blocks.{}.block.")
+    # up blocks are the trailing (n_down + 1) decoder entries (reference
+    # :78-81 emits gen_num_downsample_blocks of them)
+    n_up = n_down + 1
+    for i in range(n_dec):
+        p, s = convert_resblock(sd, _j(prefix, f"decoder_blocks.{i}"),
+                                normalize=True, upsample=i >= n_dec - n_up,
+                                downsample=False, capture_norms=False)
+        params[f"dec{i}"], spectral[f"dec{i}"] = p, s
+    # decoder tail: [AdaIN, ReLU, pad, head conv, Tanh] (reference :82-89)
+    p, s = sn_conv(sd, _j(prefix, f"decoder_blocks.{n_dec + 3}"))
+    params["head_conv"], spectral["head_conv"] = p, s
+    p, s = sn_dense(sd, _j(prefix, "project"))
+    params["project"], spectral["project"] = p, s
+    return params, spectral
+
+
+def convert_fsth_plus_generator(sd, prefix=""):
+    """generators/FSTH_plus.py -> our FSTH_plus.Generator: flagship-style
+    constant + AdaIN decoder, plain 3-layer MLP projector (reference
+    :96-103), head conv directly after ReLU (no pad — :82-89)."""
+    params, spectral = {}, {}
+    params["constant"] = np.transpose(sd[_j(prefix, "constant.constant")],
+                                      (0, 2, 3, 1))
+    n_dec = _infer_module_count(sd, prefix, "decoder_blocks.{}.block.")
+    num_up = sum(1 for k in sd
+                 if k.startswith(_j(prefix, "decoder_blocks"))
+                 and k.endswith(".skip.1.weight_orig"))
+    for i in range(n_dec):
+        p, s = convert_resblock(sd, _j(prefix, f"decoder_blocks.{i}"),
+                                normalize=True, upsample=i >= n_dec - num_up,
+                                downsample=False, capture_norms=False)
+        params[f"block{i}"], spectral[f"block{i}"] = p, s
+    p, s = sn_conv(sd, _j(prefix, f"decoder_blocks.{n_dec + 2}"))
+    params["head_conv"], spectral["head_conv"] = p, s
+    for ours, theirs in (("projector_0", "affine_params_projector.0"),
+                         ("projector_1", "affine_params_projector.2"),
+                         ("projector_2", "affine_params_projector.4")):
+        params[ours] = {"kernel": dense_kernel(sd[_j(prefix,
+                                                     theirs + ".weight")]),
+                        "bias": sd[_j(prefix, theirs + ".bias")]}
+    extra = {}
+    if _j(prefix, "identity_embedding") in sd:
+        extra["finetune_embedding"] = sd[_j(prefix, "identity_embedding")]
+    return params, spectral, extra
+
+
+def convert_fsth_discriminator(sd, prefix="", num_blocks=None):
+    """discriminators/FSTH.py -> our FSTH Discriminator (same trunk as
+    no_landmarks but a padded stem)."""
+    params, spectral = {}, {}
+    _convert_padded_stem(sd, prefix, params, spectral)
+    if num_blocks is None:
+        num_blocks = _infer_module_count(sd, prefix, "blocks.{}.")
+    for i in range(num_blocks):
+        p, s = convert_resblock(sd, _j(prefix, f"blocks.{i}"),
+                                normalize=False, upsample=False,
+                                downsample=False)
+        params[f"block{i}"], spectral[f"block{i}"] = p, s
+    p, s = sn_dense(sd, _j(prefix, "linear"))
+    params["linear"], spectral["linear"] = p, s
+    p, s = sn_embed(sd, _j(prefix, "embed"))
+    params["embed"], spectral["embed"] = p, s
+    return params, spectral
 
 
 # --------------------------------------------------------------------------
