@@ -206,7 +206,18 @@ def bench_train_e2e(step_fn, compiled, state, rng, batch, compiled_ms,
             for data_dict, target_dict in loader:
                 yield {**data_dict, **target_dict}
 
-    it = batches()
+    def dev_prefetch(it, depth=2):
+        # double-buffered device_put: the (async) H2D copy of batch N+1
+        # overlaps the device executing step N — same mechanism as the
+        # production loop (runners/loop.device_prefetch)
+        import collections
+        q = collections.deque()
+        for b in it:
+            q.append(jax.device_put(b))
+            if len(q) >= depth:
+                yield q.popleft()
+
+    it = dev_prefetch(batches())
     state, _ = compiled(state, next(it), rng)  # warm the render cache
     jax.block_until_ready(state.params)
     start = time.perf_counter()
@@ -227,7 +238,7 @@ def bench_train_e2e(step_fn, compiled, state, rng, batch, compiled_ms,
     # host->device link, not the step, bounds end-to-end throughput
     try:
         from latentpose_tpu.runners.loop import quantize_batch_u8
-        it_u8 = (quantize_batch_u8(b) for b in batches())
+        it_u8 = dev_prefetch(quantize_batch_u8(b) for b in batches())
         first = next(it_u8)
         compiled_u8 = step_fn.lower(state, first, rng).compile()
         state, _ = compiled_u8(state, first, rng)

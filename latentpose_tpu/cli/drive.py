@@ -28,7 +28,10 @@ logger = logging.getLogger("drive")
 
 
 def load_driver_frames(path, image_size):
-    """Load a driver sequence as (N, H, W, 3) float32 in [0, 1]."""
+    """Load a driver sequence as (N, H, W, 3): uint8 for decoded image/video
+    sources (the wire format — the drive step rescales on device, so the
+    host never pays the x4 float conversion or transfer), float32 [0, 1]
+    for synthetic/native-loader sources."""
     if str(path).startswith("synthetic://"):
         from latentpose_tpu.data.synthetic import render_face
         label = int(str(path).split("://", 1)[1])
@@ -51,8 +54,7 @@ def load_driver_frames(path, image_size):
         import cv2
         for p in files:
             img = cv2.imread(str(p))[..., ::-1]
-            img = cv2.resize(img, (image_size, image_size))
-            frames.append(img.astype(np.float32) / 255.0)
+            frames.append(cv2.resize(img, (image_size, image_size)))
     else:
         import cv2
         cap = cv2.VideoCapture(str(path))
@@ -60,8 +62,8 @@ def load_driver_frames(path, image_size):
             ok, img = cap.read()
             if not ok:
                 break
-            img = cv2.resize(img[..., ::-1], (image_size, image_size))
-            frames.append(img.astype(np.float32) / 255.0)
+            frames.append(cv2.resize(img[..., ::-1],
+                                     (image_size, image_size)))
         cap.release()
     if not frames:
         raise FileNotFoundError(f"No frames found in {path}")
@@ -245,6 +247,8 @@ def main(argv=None):
         dest = Path(args.destination) / f"{name}.mp4"
         writer = get_image_writer(dest)
         for driver, result in zip(frames, outputs):
+            if driver.dtype == np.uint8:  # uint8 wire format
+                driver = driver.astype(np.float32) / 255.0
             side_by_side = np.concatenate([driver, result], axis=1)
             writer.add(to_uint8(side_by_side))
         writer.close()

@@ -37,6 +37,37 @@ def quantize_batch_u8(batch):
             out[key] = (value * 255.0 + 0.5).astype(np.uint8)
     return out
 
+
+def device_prefetch(dataloader, args, mesh, depth=2):
+    """Iterate (data_dict, target_dict) pairs as device-resident batches,
+    issuing host->device transfers ``depth`` batches ahead of consumption.
+
+    JAX transfers are asynchronous, so the copy of batch N+1 overlaps the
+    device executing step N — this is the double-buffered device_put that
+    hides the input feed whenever the link (PCIe, or a network tunnel) is
+    slower than the step (measured: train_step_ms_256_e2e* in BENCH).
+    Composes with --transfer_dtype uint8 (quantize before the put).
+    """
+    import collections
+
+    queue = collections.deque()
+
+    def prepare(pair):
+        data_dict, target_dict = pair
+        batch = {**data_dict, **target_dict}
+        if getattr(args, "transfer_dtype", "float32") == "uint8":
+            batch = quantize_batch_u8(batch)
+        if mesh is not None:
+            return shard_batch(batch, mesh)
+        return jax.device_put(batch)
+
+    for pair in dataloader:
+        queue.append(prepare(pair))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
 logger = logging.getLogger("latentpose_tpu.loop")
 
 
@@ -231,7 +262,7 @@ def run_epoch(dataloader, step_fn, state, args, epoch, rng,
     profile_steps = int(getattr(args, "profile_steps", 5))
     profiling = False
 
-    for it, (data_dict, target_dict) in enumerate(dataloader):
+    for it, batch in enumerate(device_prefetch(dataloader, args, mesh)):
         if profile_dir and epoch == 0:
             if it == 2:
                 jax.profiler.start_trace(profile_dir)
@@ -243,11 +274,6 @@ def run_epoch(dataloader, step_fn, state, args, epoch, rng,
                 profiling = False
                 logger.info("Profiler trace written to %s", profile_dir)
         meter.add("Data_time", time.time() - end)
-        batch = {**data_dict, **target_dict}
-        if getattr(args, "transfer_dtype", "float32") == "uint8":
-            batch = quantize_batch_u8(batch)
-        if mesh is not None:
-            batch = shard_batch(batch, mesh)
 
         step_rng = jax.random.fold_in(rng, int(args.iteration))
         state, scalars = step_fn(state, batch, step_rng)

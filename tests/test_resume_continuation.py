@@ -125,6 +125,7 @@ def test_resume_continuation_equivalence(tmp_path, uninterrupted_state):
     assert_states_identical(uninterrupted_state, state2)
 
 
+@pytest.mark.slow  # a fourth full CLI run + compile on the 1-vCPU host
 def test_sigterm_save_then_resume_equivalence(tmp_path, monkeypatch,
                                               uninterrupted_state):
     """SIGTERM mid-run triggers the PID-guarded save handler
