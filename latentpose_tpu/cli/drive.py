@@ -201,17 +201,17 @@ def main(argv=None):
     models["discriminator"] = ft.make_finetune_discriminator(
         modules["discriminators"].Wrapper, args)
     opt_g, opt_d = build.build_optimizers(args, modules)
-    skeleton = build.init_train_state(args, models, opt_g, opt_d, rng,
-                                      finetune=True)
-    state = ckpt_lib.restore_state(args.checkpoint_path, skeleton)
-    # fine-tune leaves the skeleton couldn't anticipate (e.g. X2Face's
-    # saved identity images) — inject them from the raw arrays
+    # skeleton leaf names must match the checkpoint's avatar trainables
+    # (finetune_embedding / finetune_affine / X2Face identity images) in
+    # both params and ema_params, or from_state_dict drops the saved values
     saved_params = ckpt_lib.load_arrays(args.checkpoint_path).get("params",
                                                                   {})
-    extra = {k: v for k, v in saved_params.items()
-             if k.startswith("finetune_") and k not in state.params}
-    if extra:
-        state = state.replace(params={**state.params, **extra})
+    finetune_leaves = {k: v for k, v in saved_params.items()
+                       if k.startswith("finetune_")} or None
+    skeleton = build.init_train_state(args, models, opt_g, opt_d, rng,
+                                      finetune=True,
+                                      finetune_leaves=finetune_leaves)
+    state = ckpt_lib.restore_state(args.checkpoint_path, skeleton)
     logger.info("Loaded fine-tuned checkpoint %s (iteration %d)",
                 args.checkpoint_path, int(state.step))
 

@@ -91,11 +91,21 @@ def main(argv=None):
         logger.info("Starting from checkpoint %s", args.checkpoint_path)
         # Build models matching the checkpoint's structure, then restore.
         models = build.build_models(args, modules)
+        finetune_leaves = None
         if ckpt_meta_finetune:
             models["discriminator"] = ft.make_finetune_discriminator(
                 modules["discriminators"].Wrapper, args)
+            # skeleton leaf names must match the checkpoint's actual avatar
+            # trainables (finetune_embedding, or FSTH's finetune_affine) in
+            # BOTH params and ema_params — from_state_dict silently drops
+            # saved leaves the skeleton doesn't have
+            saved_params = ckpt_lib.load_arrays(
+                args.checkpoint_path).get("params", {})
+            finetune_leaves = {k: v for k, v in saved_params.items()
+                               if k.startswith("finetune_")} or None
         skeleton = build.init_train_state(
-            args, models, opt_g, opt_d, rng, finetune=ckpt_meta_finetune)
+            args, models, opt_g, opt_d, rng, finetune=ckpt_meta_finetune,
+            finetune_leaves=finetune_leaves)
         state = ckpt_lib.restore_state(args.checkpoint_path, skeleton)
         logger.info("Restored iteration #%d", int(state.step))
         args.iteration = int(state.step)

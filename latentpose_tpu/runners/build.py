@@ -129,7 +129,14 @@ def overlay_pretrained(models, params, batch_stats):
 
 def init_train_state(args, models, opt_g, opt_d, rng,
                      finetune: bool = False,
-                     finetune_embedding=None) -> TrainState:
+                     finetune_embedding=None,
+                     finetune_leaves=None) -> TrainState:
+    """``finetune_leaves``: the per-avatar trainable leaves (name -> array),
+    e.g. ``{"finetune_embedding": ê}`` or FSTH's ``{"finetune_affine": A}``.
+    Used when rebuilding a skeleton to restore a fine-tuned checkpoint into
+    (cli/train.py, cli/drive.py) — the leaf NAMES and the matching
+    ``ema_params`` entries must exist in the skeleton or flax's
+    ``from_state_dict`` silently drops the saved values."""
     emb_vars, gen_vars, dis_vars = init_variables(args, models, rng)
 
     # Collections may be absent (e.g. the X2Face passthrough embedder has no
@@ -140,10 +147,13 @@ def init_train_state(args, models, opt_g, opt_d, rng,
         "discriminator": dis_vars.get("params", {}),
     }
     if finetune:
-        if finetune_embedding is None:
-            finetune_embedding = jax.random.uniform(
-                rng, (1, args.embed_channels))
-        params["finetune_embedding"] = finetune_embedding
+        if finetune_leaves is None:
+            if finetune_embedding is None:
+                finetune_embedding = jax.random.uniform(
+                    rng, (1, args.embed_channels))
+            finetune_leaves = {"finetune_embedding": finetune_embedding}
+        params.update({k: jnp.asarray(v, jnp.float32)
+                       for k, v in finetune_leaves.items()})
 
     batch_stats = {"embedder": emb_vars.get("batch_stats", {})}
     # converted frozen-dependency weights (before EMA deepcopy)
@@ -154,6 +164,11 @@ def init_train_state(args, models, opt_g, opt_d, rng,
 
     ema_params = {"embedder": copy.deepcopy(params["embedder"]),
                   "generator": copy.deepcopy(params["generator"])}
+    if finetune:
+        # EMA tracks the avatar trainables too (runners/finetune.py:133-137;
+        # drive.py prefers the EMA copy) — distinct buffers (donation)
+        ema_params.update({k: jnp.array(params[k])
+                           for k in finetune_leaves})
 
     return TrainState(
         step=jnp.zeros((), jnp.int32) + int(getattr(args, "iteration", 0)),

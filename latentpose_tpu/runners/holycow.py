@@ -345,11 +345,15 @@ def make_train_step(models, criteria, args, opt_g, opt_d, donate=False,
         iteration depends only on the (replicated) weights, so its state is
         identical on every shard.
         """
+        import functools
+
         from jax.sharding import PartitionSpec as P
         try:
-            from jax import shard_map
-        except ImportError:  # pre-0.8 jax
+            # jax >= 0.8: keyword-only specs, replication check is check_vma
+            shard_map = functools.partial(jax.shard_map, check_vma=False)
+        except AttributeError:  # pre-0.8 jax
             from jax.experimental.shard_map import shard_map
+            shard_map = functools.partial(shard_map, check_rep=False)
 
         def local_grads(trainable, params, bs, spec, local_batch, rng):
             rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
@@ -365,11 +369,13 @@ def make_train_step(models, criteria, args, opt_g, opt_d, donate=False,
                 lambda s: jax.lax.pmean(s, "data"), nbs)
             return (loss, (scalars, nbs, nspec)), grads
 
+        # check disabled: new_spectral is genuinely replicated (the power
+        # iteration depends only on the replicated weights) but is not a
+        # pmean output, so the conservative replication checker rejects it
         return shard_map(
             local_grads, mesh=mesh,
             in_specs=(P(), P(), P(), P(), P("data"), P()),
-            out_specs=((P(), (P(), P(), P())), P()),
-            check_rep=False)
+            out_specs=((P(), (P(), P(), P())), P()))
 
     def train_step(state: TrainState, batch, rng):
         rng_aug, rng = jax.random.split(rng)

@@ -167,3 +167,47 @@ def test_sigterm_save_then_resume_equivalence(tmp_path, monkeypatch,
                   + ["--checkpoint_path", str(ckpt)])
     assert int(state2.step) == 4
     assert_states_identical(uninterrupted_state, state2)
+
+
+@pytest.mark.slow
+def test_finetune_resume_continuation_equivalence(tmp_path):
+    """Resuming a FINE-TUNED checkpoint (cli/train.py's ckpt_meta_finetune
+    branch: rebuild the 1-row-W discriminator + finetune_embedding skeleton,
+    restore, continue) must equal uninterrupted fine-tuning: N+M epochs in
+    one run == N epochs -> save -> restore -> M epochs, every state leaf."""
+    from latentpose_tpu.checkpoint import latest_checkpoint
+    from latentpose_tpu.cli.train import main
+
+    meta_dir = tmp_path / "meta"
+    main(base_argv(meta_dir, 1))
+    meta_ckpt = str(latest_checkpoint(meta_dir))
+
+    ft_args = [
+        "--dataloader", "synthetic",
+        "--criterions", "adversarial, featmat, dice",
+        "--finetune", "--optimizer", "RAdam",
+        "--lr_gen", "5e-4", "--lr_dis", "8e-4",
+        "--synthetic_num_labels", "4", "--num_enc_frames", "2",
+        "--image_size", "32", "--num_channels", "4",
+        "--max_num_channels", "16", "--embed_channels", "16",
+        "--pose_embedding_size", "8", "--dis_num_blocks", "3",
+        "--batch_size", "2", "--num_devices", "1", "--no-logging",
+    ]
+
+    state_full = main(ft_args + [
+        "--checkpoint_path", meta_ckpt, "--num_epochs", "2",
+        "--experiments_dir", str(tmp_path / "ft_full")])
+    assert "finetune_embedding" in state_full.params
+
+    part1 = main(ft_args + [
+        "--checkpoint_path", meta_ckpt, "--num_epochs", "1",
+        "--experiments_dir", str(tmp_path / "ft_part1")])
+    ft_ckpt = latest_checkpoint(tmp_path / "ft_part1")
+    assert ft_ckpt is not None
+    state_resumed = main(ft_args + [
+        "--checkpoint_path", str(ft_ckpt), "--num_epochs", "1",
+        "--experiments_dir", str(tmp_path / "ft_part2")])
+
+    assert int(state_resumed.step) == int(state_full.step)
+    assert int(part1.step) < int(state_full.step)
+    assert_states_identical(state_full, state_resumed)
