@@ -186,3 +186,64 @@ def test_reference_pose_error_parity(align):
     # the reference solves a 136x3 lstsq per frame in f64; ours is the
     # closed-form normal-equation optimum — same minimum, float-level agree
     np.testing.assert_allclose(got, exp, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Croppers (utils/crop_as_in_dataset.py) — pure geometry functions
+# ---------------------------------------------------------------------------
+
+def _import_reference_croppers():
+    for name in ("face_alignment", "face_alignment.detection",
+                 "face_alignment.detection.sfd"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["face_alignment.detection.sfd"].FaceDetector = object
+    sys.modules["face_alignment"].FaceAlignment = object
+    sys.modules["face_alignment"].LandmarksType = object
+    spec = importlib.util.spec_from_file_location(
+        "ref_crop_as_in_dataset", REFERENCE / "utils/crop_as_in_dataset.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_reference_choose_one_detection_parity():
+    """LatentPoseCropper.choose_one_detection (:306-332): pick the most
+    confident detection, falling back to the largest box."""
+    ref = _import_reference_croppers()
+    from latentpose_tpu.preprocess import croppers as ours
+    rng = np.random.RandomState(5)
+    for _ in range(20):
+        n = rng.randint(1, 5)
+        faces = []
+        for _ in range(n):
+            l, t = rng.rand(2) * 100
+            w, h = rng.rand(2) * 80 + 5
+            conf = rng.rand() * 1.2  # some above the .9 threshold, some not
+            faces.append([l, t, l + w, t + h, conf])
+        exp = ref.LatentPoseFaceCropper.choose_one_detection(faces)
+        got = ours.choose_one_detection(faces)
+        np.testing.assert_allclose(np.asarray(got, np.float64),
+                                   np.asarray(exp, np.float64))
+
+
+def test_reference_ffhq_crop_from_landmarks_parity():
+    """FFHQFaceCropper.crop_from_landmarks (:97-200): the FFHQ quad ->
+    rotated crop, on synthetic landmarks over a structured image."""
+    ref = _import_reference_croppers()
+    from latentpose_tpu.preprocess import croppers as ours
+    rng = np.random.RandomState(6)
+    img = (rng.rand(160, 170, 3) * 255).astype(np.uint8)
+    kp = synthetic_landmarks(rng, 160, 170)
+    exp = ref.FFHQFaceCropper.crop_from_landmarks(img.copy(), kp.copy())
+    got = ours.FFHQFaceCropper.crop_from_landmarks(img.copy(), kp.copy())
+    np.testing.assert_allclose(np.asarray(got[0], np.float32),
+                               np.asarray(exp[0], np.float32), atol=1.0)
+
+
+def synthetic_landmarks(rng, h, w):
+    """Plausible 68x3 landmarks (FFHQ cropper reads eyes/mouth rows)."""
+    from latentpose_tpu.data.synthetic import synthetic_keypoints
+    kp2 = synthetic_keypoints(3, 5, min(h, w)).astype(np.float32)
+    kp2 += rng.rand(68, 2).astype(np.float32) * 2
+    return np.concatenate([kp2, np.zeros((68, 1), np.float32)], axis=1)
