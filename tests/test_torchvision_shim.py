@@ -1,0 +1,60 @@
+"""Pins tools/torchvision_shim.py to torchvision's canonical architectures.
+
+The shim exists so the REAL reference modules (which import torchvision)
+can run in this torchvision-less env for import-parity tests.  Exact
+parameter counts are a strong structural fingerprint: they match only if
+every conv/BN/linear shape (and thus stride/width/group layout) agrees
+with torchvision's published models.  The counts below are the well-known
+1000-class ImageNet totals.
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+torch = pytest.importorskip("torch")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+import torchvision_shim as tvs  # noqa: E402
+
+
+def n_params(m):
+    return sum(p.numel() for p in m.parameters())
+
+
+@pytest.mark.parametrize("builder, expected", [
+    (tvs.resnext50_32x4d, 25_028_904),
+    (tvs.mobilenet_v2, 3_504_872),
+    (tvs.vgg19, 143_667_240),
+    (tvs.vgg16, 138_357_544),
+])
+def test_shim_param_counts(builder, expected):
+    assert n_params(builder()) == expected
+
+
+def test_install_registers_module():
+    tv = tvs.install()
+    import torchvision
+    assert torchvision is tv
+    assert callable(torchvision.models.resnext50_32x4d)
+
+
+def test_resnext_state_dict_names_match_torchvision_convention():
+    sd = tvs.resnext50_32x4d(num_classes=7).state_dict()
+    for key in ("conv1.weight", "bn1.running_mean",
+                "layer1.0.downsample.0.weight",
+                "layer1.0.downsample.1.running_var",
+                "layer4.2.conv3.weight", "fc.bias"):
+        assert key in sd, key
+    assert sd["layer1.0.conv2.weight"].shape == (128, 4, 3, 3)  # groups=32
+
+
+def test_mobilenet_state_dict_names_match_torchvision_convention():
+    sd = tvs.mobilenet_v2(num_classes=7).state_dict()
+    for key in ("features.0.0.weight", "features.1.conv.0.0.weight",
+                "features.1.conv.1.weight",        # t=1 block: project at .1
+                "features.2.conv.1.0.weight",      # t=6 block: dw at .1.0
+                "features.2.conv.2.weight", "features.18.0.weight",
+                "classifier.1.bias"):
+        assert key in sd, key

@@ -1,0 +1,321 @@
+"""A minimal, state-dict-compatible stand-in for ``torchvision.models``.
+
+The zero-egress build environment has torch but NOT torchvision, while the
+reference implementation (``/root/reference``) builds its backbones through
+``torchvision.models.resnext50_32x4d / mobilenet_v2 / vgg19 / vgg16``
+(``embedders/unsupervised_pose_separate_embResNeXt_segmentation.py:26-28``,
+``criterions/common/perceptual_loss.py:25,38,54``).  To run the REAL
+reference modules for import-parity tests we provide the canonical
+architectures here in plain torch, with ``state_dict()`` key names and
+forward semantics identical to torchvision's (same module attribute names,
+same Sequential indices, same strides/paddings/activations).
+
+Only what the reference consumes is implemented:
+
+- ``resnext50_32x4d(num_classes=N)``  — ResNet-50 with groups=32,
+  width_per_group=4 (torchvision ``resnet.py`` Bottleneck layout:
+  conv1/bn1/conv2/bn2/conv3/bn3 + downsample Sequential[conv, bn]).
+- ``mobilenet_v2(num_classes=N)``     — InvertedResidual stacks with the
+  (t, c, n, s) table from the MobileNetV2 paper, ConvBNReLU6 naming
+  (``features.i.conv.j.k``), ``classifier = [Dropout, Linear]``.
+- ``vgg19() / vgg16()``               — cfg E / cfg D feature stacks with
+  the standard 3-Linear classifier (what the reference's caffe-weight
+  loading path expects before truncating to ``.features``).
+
+Weight VALUES never matter for the parity tests (weights are exported from
+the instantiated reference model and converted), only names/shapes/forward
+math do.  Init mirrors torchvision's (kaiming fan_out for convs etc.) so a
+seeded build is also reasonable to drive forward passes with.
+
+``install()`` registers this module as ``torchvision`` + submodules in
+``sys.modules`` when the real package is absent; the real torchvision, if
+present, always wins.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import torch
+from torch import nn
+
+
+# ---------------------------------------------------------------------------
+# ResNeXt-50 32x4d (torchvision resnet.py layout)
+# ---------------------------------------------------------------------------
+
+class Bottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None,
+                 groups=1, base_width=64):
+        super().__init__()
+        width = int(planes * (base_width / 64.0)) * groups
+        self.conv1 = nn.Conv2d(inplanes, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride=stride, padding=1,
+                               groups=groups, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, planes * self.expansion, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * self.expansion)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+        self.stride = stride
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        out = out + identity
+        return self.relu(out)
+
+
+class ResNet(nn.Module):
+    def __init__(self, layers, num_classes=1000, groups=1,
+                 width_per_group=64):
+        super().__init__()
+        self.inplanes = 64
+        self.groups = groups
+        self.base_width = width_per_group
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(kernel_size=3, stride=2, padding=1)
+        self.layer1 = self._make_layer(64, layers[0])
+        self.layer2 = self._make_layer(128, layers[1], stride=2)
+        self.layer3 = self._make_layer(256, layers[2], stride=2)
+        self.layer4 = self._make_layer(512, layers[3], stride=2)
+        self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+        self.fc = nn.Linear(512 * Bottleneck.expansion, num_classes)
+
+        for m in self.modules():
+            if isinstance(m, nn.Conv2d):
+                nn.init.kaiming_normal_(m.weight, mode="fan_out",
+                                        nonlinearity="relu")
+            elif isinstance(m, nn.BatchNorm2d):
+                nn.init.constant_(m.weight, 1)
+                nn.init.constant_(m.bias, 0)
+
+    def _make_layer(self, planes, blocks, stride=1):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * Bottleneck.expansion:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes * Bottleneck.expansion, 1,
+                          stride=stride, bias=False),
+                nn.BatchNorm2d(planes * Bottleneck.expansion),
+            )
+        layers = [Bottleneck(self.inplanes, planes, stride, downsample,
+                             self.groups, self.base_width)]
+        self.inplanes = planes * Bottleneck.expansion
+        for _ in range(1, blocks):
+            layers.append(Bottleneck(self.inplanes, planes,
+                                     groups=self.groups,
+                                     base_width=self.base_width))
+        return nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        x = torch.flatten(self.avgpool(x), 1)
+        return self.fc(x)
+
+
+def resnext50_32x4d(pretrained=False, num_classes=1000, **kwargs):
+    if pretrained:
+        raise RuntimeError("torchvision_shim has no pretrained weights "
+                           "(zero-egress environment); see WEIGHTS.md")
+    return ResNet([3, 4, 6, 3], num_classes=num_classes, groups=32,
+                  width_per_group=4)
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV2 (torchvision mobilenetv2.py layout)
+# ---------------------------------------------------------------------------
+
+def _make_divisible(v, divisor=8, min_value=None):
+    if min_value is None:
+        min_value = divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class ConvBNReLU(nn.Sequential):
+    def __init__(self, in_planes, out_planes, kernel_size=3, stride=1,
+                 groups=1):
+        padding = (kernel_size - 1) // 2
+        super().__init__(
+            nn.Conv2d(in_planes, out_planes, kernel_size, stride, padding,
+                      groups=groups, bias=False),
+            nn.BatchNorm2d(out_planes),
+            nn.ReLU6(inplace=True),
+        )
+
+
+class InvertedResidual(nn.Module):
+    def __init__(self, inp, oup, stride, expand_ratio):
+        super().__init__()
+        self.stride = stride
+        hidden_dim = int(round(inp * expand_ratio))
+        self.use_res_connect = stride == 1 and inp == oup
+
+        layers = []
+        if expand_ratio != 1:
+            layers.append(ConvBNReLU(inp, hidden_dim, kernel_size=1))
+        layers.extend([
+            ConvBNReLU(hidden_dim, hidden_dim, stride=stride,
+                       groups=hidden_dim),
+            nn.Conv2d(hidden_dim, oup, 1, 1, 0, bias=False),
+            nn.BatchNorm2d(oup),
+        ])
+        self.conv = nn.Sequential(*layers)
+
+    def forward(self, x):
+        if self.use_res_connect:
+            return x + self.conv(x)
+        return self.conv(x)
+
+
+class MobileNetV2(nn.Module):
+    def __init__(self, num_classes=1000, width_mult=1.0):
+        super().__init__()
+        input_channel = _make_divisible(32 * width_mult)
+        last_channel = _make_divisible(1280 * max(1.0, width_mult))
+        settings = [
+            (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+            (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1),
+        ]
+
+        features = [ConvBNReLU(3, input_channel, stride=2)]
+        for t, c, n, s in settings:
+            output_channel = _make_divisible(c * width_mult)
+            for i in range(n):
+                stride = s if i == 0 else 1
+                features.append(InvertedResidual(input_channel,
+                                                 output_channel, stride, t))
+                input_channel = output_channel
+        features.append(ConvBNReLU(input_channel, last_channel,
+                                   kernel_size=1))
+        self.features = nn.Sequential(*features)
+        self.classifier = nn.Sequential(
+            nn.Dropout(0.2),
+            nn.Linear(last_channel, num_classes),
+        )
+
+        for m in self.modules():
+            if isinstance(m, nn.Conv2d):
+                nn.init.kaiming_normal_(m.weight, mode="fan_out")
+            elif isinstance(m, nn.BatchNorm2d):
+                nn.init.ones_(m.weight)
+                nn.init.zeros_(m.bias)
+            elif isinstance(m, nn.Linear):
+                nn.init.normal_(m.weight, 0, 0.01)
+                nn.init.zeros_(m.bias)
+
+    def forward(self, x):
+        x = self.features(x)
+        x = x.mean([2, 3])
+        return self.classifier(x)
+
+
+def mobilenet_v2(pretrained=False, num_classes=1000, **kwargs):
+    if pretrained:
+        raise RuntimeError("torchvision_shim has no pretrained weights "
+                           "(zero-egress environment); see WEIGHTS.md")
+    return MobileNetV2(num_classes=num_classes)
+
+
+# ---------------------------------------------------------------------------
+# VGG (torchvision vgg.py layout; cfgs D and E)
+# ---------------------------------------------------------------------------
+
+_VGG_CFGS = {
+    "D": [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+          512, 512, 512, "M", 512, 512, 512, "M"],
+    "E": [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+          512, 512, 512, 512, "M", 512, 512, 512, 512, "M"],
+}
+
+
+class VGG(nn.Module):
+    def __init__(self, features, num_classes=1000):
+        super().__init__()
+        self.features = features
+        self.avgpool = nn.AdaptiveAvgPool2d((7, 7))
+        self.classifier = nn.Sequential(
+            nn.Linear(512 * 7 * 7, 4096), nn.ReLU(True), nn.Dropout(),
+            nn.Linear(4096, 4096), nn.ReLU(True), nn.Dropout(),
+            nn.Linear(4096, num_classes),
+        )
+
+    def forward(self, x):
+        x = torch.flatten(self.avgpool(self.features(x)), 1)
+        return self.classifier(x)
+
+
+def _vgg_features(cfg):
+    layers, in_ch = [], 3
+    for v in _VGG_CFGS[cfg]:
+        if v == "M":
+            layers.append(nn.MaxPool2d(kernel_size=2, stride=2))
+        else:
+            layers.extend([nn.Conv2d(in_ch, v, 3, padding=1),
+                           nn.ReLU(inplace=True)])
+            in_ch = v
+    return nn.Sequential(*layers)
+
+
+def vgg19(pretrained=False, **kwargs):
+    if pretrained:
+        raise RuntimeError("torchvision_shim has no pretrained weights "
+                           "(zero-egress environment); see WEIGHTS.md")
+    return VGG(_vgg_features("E"))
+
+
+def vgg16(pretrained=False, **kwargs):
+    if pretrained:
+        raise RuntimeError("torchvision_shim has no pretrained weights "
+                           "(zero-egress environment); see WEIGHTS.md")
+    return VGG(_vgg_features("D"))
+
+
+# ---------------------------------------------------------------------------
+# sys.modules installation
+# ---------------------------------------------------------------------------
+
+def install():
+    """Register this shim as ``torchvision`` if the real one is absent.
+
+    Returns the module that ends up answering ``import torchvision`` (the
+    real package when installed, else the shim), so callers can use the
+    same code path in both environments.
+    """
+    try:
+        import torchvision  # noqa: F401  (real package wins)
+        return torchvision
+    except ImportError:
+        pass
+    if "torchvision" in sys.modules:      # already installed (ours)
+        return sys.modules["torchvision"]
+
+    models = types.ModuleType("torchvision.models")
+    models.resnext50_32x4d = resnext50_32x4d
+    models.mobilenet_v2 = mobilenet_v2
+    models.vgg19 = vgg19
+    models.vgg16 = vgg16
+    models.ResNet = ResNet
+    models.MobileNetV2 = MobileNetV2
+    models.VGG = VGG
+
+    tv = types.ModuleType("torchvision")
+    tv.__version__ = "0.0.shim"
+    tv.models = models
+    tv.__is_latentpose_shim__ = True
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = models
+    return tv
