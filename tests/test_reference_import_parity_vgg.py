@@ -57,42 +57,15 @@ from latentpose_tpu.losses import idt_embed as our_idt_mod  # noqa: E402
 from latentpose_tpu.losses import perceptual as our_perc_mod  # noqa: E402
 
 
-# ---------------------------------------------------------------------------
-# Fabricated weight files (random values, reference-exact key conventions)
-# ---------------------------------------------------------------------------
-
-def fabricate_vgg19_caffe_pth(path, seed=0):
-    """Key convention of the reference's vgg19-d01eb7cb.pth: torchvision
-    ``features.*`` plus classifier Linears at indices 1/4/6 (the loader
-    remaps 6->7 to account for the prepended Flatten,
-    perceptual_loss.py:35-36)."""
-    torch.manual_seed(seed)
-    sd = torchvision_shim.vgg19().state_dict()
-    out = {}
-    for k, v in sd.items():
-        k = (k.replace("classifier.0.", "classifier.1.")
-              .replace("classifier.3.", "classifier.4."))
-        out[k] = v
-    torch.save(out, path)
-    return out
-
-
-def fabricate_vgg_face_pth(path, seed=1):
-    """vgg_face_weights.pth loads into ``vgg16().features`` directly, so
-    keys are bare Sequential indices (perceptual_loss.py:54-55)."""
-    torch.manual_seed(seed)
-    sd = torchvision_shim.vgg16().features.state_dict()
-    torch.save(sd, path)
-    return sd
-
-
 @pytest.fixture(scope="module")
 def weights_dir(tmp_path_factory):
     """One dir holding BOTH the fabricated .pth files (for the reference)
     and their converted .npz (for us)."""
     d = tmp_path_factory.mktemp("vgg_weights")
-    sd19 = fabricate_vgg19_caffe_pth(d / "vgg19-d01eb7cb.pth")
-    sd16 = fabricate_vgg_face_pth(d / "vgg_face_weights.pth")
+    sd19 = torchvision_shim.fabricate_vgg19_caffe_pth(
+        d / "vgg19-d01eb7cb.pth")
+    sd16 = torchvision_shim.fabricate_vgg_face_pth(
+        d / "vgg_face_weights.pth")
     np19 = {k: v.numpy() for k, v in sd19.items()}
     np16 = {k: v.numpy() for k, v in sd16.items()}
     cw.save_flat_npz(cw.convert_vgg(np19, cw.VGG19_CONV_INDICES),

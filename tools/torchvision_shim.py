@@ -285,6 +285,37 @@ def vgg16(pretrained=False, **kwargs):
 
 
 # ---------------------------------------------------------------------------
+# Fabricated reference weight files (random values, loader-exact key
+# conventions) — lets the reference's unconditional torch.load paths
+# (criterions/common/perceptual_loss.py:32-60) run without the real files.
+# ---------------------------------------------------------------------------
+
+def fabricate_vgg19_caffe_pth(path, seed=0):
+    """Key convention of the reference's vgg19-d01eb7cb.pth: torchvision
+    ``features.*`` plus classifier Linears at indices 1/4/6 (the loader
+    remaps 6->7 to account for the prepended Flatten,
+    perceptual_loss.py:35-36)."""
+    torch.manual_seed(seed)
+    sd = vgg19().state_dict()
+    out = {}
+    for k, v in sd.items():
+        k = (k.replace("classifier.0.", "classifier.1.")
+              .replace("classifier.3.", "classifier.4."))
+        out[k] = v
+    torch.save(out, path)
+    return out
+
+
+def fabricate_vgg_face_pth(path, seed=1):
+    """vgg_face_weights.pth loads into ``vgg16().features`` directly, so
+    keys are bare Sequential indices (perceptual_loss.py:54-55)."""
+    torch.manual_seed(seed)
+    sd = vgg16().features.state_dict()
+    torch.save(sd, path)
+    return sd
+
+
+# ---------------------------------------------------------------------------
 # sys.modules installation
 # ---------------------------------------------------------------------------
 
