@@ -81,32 +81,48 @@ def get_args_and_modules(parser, use_checkpoint_args=True, custom_args=None,
     """
     custom_args = dict(custom_args or {})
 
-    # Pass 1: learn config_name / checkpoint_path from the CLI alone.
+    # The passes mirror the reference's exact sequence
+    # (utils/utils.py:82-122): custom args are defaults from the very
+    # start, the YAML is discovered from CLI+custom, and the checkpoint
+    # path may come from the CLI, the custom args, OR the YAML.
+    if custom_args:
+        parser.set_defaults(**custom_args)
+
+    # Pass 1: learn config_name.
     args, _ = parser.parse_known_args(argv)
 
-    # Level 2: checkpoint args become parser defaults.
+    # Level 3: YAML config becomes parser defaults (reference loads the
+    # YAML before the checkpoint; a checkpoint-carried config_name does
+    # not re-trigger YAML loading there, so neither does it here).
+    yaml_cfg = {}
+    if getattr(args, "config_name", ""):
+        try:
+            yaml_cfg = load_yaml_config(args.config_name, configs_dir)
+        except FileNotFoundError:
+            logger.warning("Could not load config %s", args.config_name)
+    parser.set_defaults(**yaml_cfg)
+    if custom_args:
+        parser.set_defaults(**custom_args)
+
+    # Pass 2: learn checkpoint_path (now resolvable from YAML/custom too).
+    args, _ = parser.parse_known_args(argv)
+
+    # Level 2: checkpoint args become parser defaults, below YAML/custom.
     checkpoint_args = None
     if use_checkpoint_args and getattr(args, "checkpoint_path", ""):
         try:
             checkpoint_args = peek_checkpoint_args(args.checkpoint_path)
-            parser.set_defaults(**checkpoint_args)
         except FileNotFoundError:
             logger.warning("Checkpoint %s not found; ignoring its args",
                            args.checkpoint_path)
-
-    # Pass 2: re-parse so that --config_name from the checkpoint can apply.
-    args, _ = parser.parse_known_args(argv)
-
-    # Level 3: YAML config becomes parser defaults.
-    if getattr(args, "config_name", ""):
-        yaml_cfg = load_yaml_config(args.config_name, configs_dir)
-        parser.set_defaults(**yaml_cfg)
-
-    # Level 4: programmatic custom args.
+    if checkpoint_args:
+        parser.set_defaults(**checkpoint_args)
+    parser.set_defaults(**yaml_cfg)
     if custom_args:
         parser.set_defaults(**custom_args)
 
-    # Pass 3: learn the selected module names.
+    # Pass 3: learn the selected module names (a checkpoint may carry
+    # them — the resume path).
     args, _ = parser.parse_known_args(argv)
 
     # Two-phase parsing: let every selected plugin register its own args.
@@ -128,17 +144,23 @@ def get_args_and_modules(parser, use_checkpoint_args=True, custom_args=None,
             m.Wrapper.get_args(parser)
             modules[kind] = m
 
-    # Re-apply levels 2-4 so that plugin-registered args also honor them.
+    # Re-apply levels 2-4 so that plugin-registered args also honor them
+    # (all checkpoint args are injected, known or not — reference
+    # utils.py:154-157 semantics: args travel inside the checkpoint).
     if checkpoint_args:
-        known = {a.dest for a in parser._actions}
-        parser.set_defaults(**{k: v for k, v in checkpoint_args.items()
-                               if k in known})
-    if getattr(args, "config_name", ""):
-        parser.set_defaults(**load_yaml_config(args.config_name, configs_dir))
+        parser.set_defaults(**checkpoint_args)
+    parser.set_defaults(**yaml_cfg)
     if custom_args:
         parser.set_defaults(**custom_args)
 
     # Final parses: level 5 (CLI) on top; and the all-defaults namespace.
     default_args = copy.deepcopy(parser.parse_args([]))
     args = parser.parse_args(argv)
+
+    # Dynamic default (reference utils.py:160-163): an experiment inherits
+    # the config's name unless explicitly named.  The auto-postfix namer
+    # (utils/logging_writer.get_experiment_name) only fires when BOTH are
+    # empty, matching the reference's setup_logging.
+    if not getattr(args, "experiment_name", ""):
+        args.experiment_name = args.config_name
     return args, default_args, modules, checkpoint_args

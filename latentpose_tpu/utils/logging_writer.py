@@ -39,20 +39,32 @@ def _disk_ok(path):
         return True
 
 
+def get_postfix(args_dict, default_args_dict, args_to_ignore,
+                delimiter="__"):
+    """Reference ``tensorboard_logging.get_postfix`` exactly: sorted
+    ``arg^value`` pairs for every non-default, non-ignored arg, joined by
+    ``__``, with ``/`` mapped to ``+`` (``tensorboard_logging.py:47-54``).
+    A key absent from the defaults counts as non-default."""
+    s = []
+    for arg in sorted(args_dict.keys()):
+        if arg in args_to_ignore:
+            continue
+        if arg in default_args_dict \
+                and default_args_dict[arg] == args_dict[arg]:
+            continue
+        s.append(f"{arg}^{args_dict[arg]}")
+    return delimiter.join(s).replace("/", "+")
+
+
 def get_experiment_name(args, default_args, args_to_ignore):
-    """Auto-name from non-default args (reference ``get_postfix``)."""
+    """Auto-name from non-default args + timestamp (reference
+    ``setup_logging``, ``tensorboard_logging.py:57-61``)."""
     if getattr(args, "experiment_name", ""):
         return args.experiment_name
-    diffs = []
-    for key, value in sorted(vars(args).items()):
-        if key in args_to_ignore:
-            continue
-        default = getattr(default_args, key, None) if default_args else None
-        if default is not None and str(value) != str(default):
-            diffs.append(f"{key}={value}")
-    postfix = "^".join(diffs)[:100]
-    stamp = time.strftime("%m-%d_%H-%M")
-    return f"{stamp}^{postfix}" if postfix else stamp
+    postfix = get_postfix(vars(args),
+                          vars(default_args) if default_args else {},
+                          args_to_ignore)
+    return time.strftime(f"%m-%d_%H-%M___{postfix}")
 
 
 class ExperimentWriter:

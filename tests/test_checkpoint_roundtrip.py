@@ -98,7 +98,7 @@ def test_experiment_auto_naming():
     args = types.SimpleNamespace(experiment_name="", batch_size=16,
                                  lr_gen=5e-5, rank=3)
     name = get_experiment_name(args, defaults, args_to_ignore=["rank"])
-    assert "batch_size=16" in name       # non-default arg in the name
+    assert "batch_size^16" in name       # non-default arg in the name
     assert "lr_gen" not in name          # default value excluded
     assert "rank" not in name            # ignored arg excluded
 

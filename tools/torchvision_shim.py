@@ -343,10 +343,56 @@ def install():
     models.MobileNetV2 = MobileNetV2
     models.VGG = VGG
 
+    utils = types.ModuleType("torchvision.utils")
+
+    def make_grid(*args, **kwargs):  # import-time dependency only
+        raise NotImplementedError(
+            "torchvision_shim.make_grid is an import-time stub")
+
+    utils.make_grid = make_grid
+
     tv = types.ModuleType("torchvision")
     tv.__version__ = "0.0.shim"
     tv.models = models
+    tv.utils = utils
     tv.__is_latentpose_shim__ = True
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = models
+    sys.modules["torchvision.utils"] = utils
     return tv
+
+
+def install_reference_import_stubs():
+    """Stub the reference's remaining import-time-only deps that this env
+    lacks: ``yamlenv`` (pyyaml passthrough — the reference uses it solely
+    for ${VAR} interpolation, utils/utils.py:167-174) and ``imgaug``
+    (augmenters are only CONSTRUCTED inside ParametricAugmenter.__init__,
+    dataloaders/common/augmentation.py:30-142; importing the module needs
+    just the package names)."""
+    install()
+    if "yamlenv" not in sys.modules:
+        try:
+            import yamlenv  # noqa: F401
+        except ImportError:
+            import yaml
+
+            stub = types.ModuleType("yamlenv")
+            stub.load = yaml.safe_load
+            sys.modules["yamlenv"] = stub
+    if "imgaug" not in sys.modules:
+        try:
+            import imgaug  # noqa: F401
+        except ImportError:
+            def _unavailable(name):
+                def fail(*a, **k):
+                    raise NotImplementedError(
+                        f"imgaug.{name} is an import-time stub")
+                return fail
+
+            augmenters = types.ModuleType("imgaug.augmenters")
+            augmenters.__getattr__ = _unavailable  # PEP 562
+            ia = types.ModuleType("imgaug")
+            ia.augmenters = augmenters
+            ia.__getattr__ = _unavailable
+            sys.modules["imgaug"] = ia
+            sys.modules["imgaug.augmenters"] = augmenters
