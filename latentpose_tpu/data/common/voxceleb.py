@@ -138,10 +138,16 @@ class SampleLoader:
     def list_ids(self, path, k):
         """Sample k frame stems from a video directory."""
         full_path = self.data_root / self.img_dir / path
-        id_list = sorted(full_path.iterdir())
+        # reference voxceleb.py:156-173, with one deliberate deviation: the
+        # reference iterates the directory in OS order; we sort so the seeded
+        # deterministic sample is stable across filesystems.  The oversample
+        # growth (append the listing once per round, not doubling) matches
+        # the reference exactly so the seeded draws agree.
+        base = sorted(full_path.iterdir())
+        id_list = list(base)
         rng = random.Random(666) if self.deterministic else random
         while k > len(id_list):
-            id_list = id_list + id_list
+            id_list += base
         return [p.stem for p in rng.sample(id_list, k=k)]
 
     def load_rgb(self, path, i):
