@@ -158,6 +158,30 @@ def inline_crop_frames(path, args):
     return np.stack(out)
 
 
+def load_finetuned(args, modules):
+    """Rebuild the module set + restore a fine-tuned checkpoint for
+    inference (shared by drive and the serving exporter)."""
+    rng = jax.random.PRNGKey(args.random_seed)
+    models = build.build_models(args, modules)
+    models["discriminator"] = ft.make_finetune_discriminator(
+        modules["discriminators"].Wrapper, args)
+    opt_g, opt_d = build.build_optimizers(args, modules)
+    # skeleton leaf names must match the checkpoint's avatar trainables
+    # (finetune_embedding / finetune_affine / X2Face identity images) in
+    # both params and ema_params, or from_state_dict drops the saved values
+    saved_params = ckpt_lib.load_arrays(args.checkpoint_path).get("params",
+                                                                  {})
+    finetune_leaves = {k: v for k, v in saved_params.items()
+                       if k.startswith("finetune_")} or None
+    skeleton = build.init_train_state(args, models, opt_g, opt_d, rng,
+                                      finetune=True,
+                                      finetune_leaves=finetune_leaves)
+    state = ckpt_lib.restore_state(args.checkpoint_path, skeleton)
+    logger.info("Loaded fine-tuned checkpoint %s (iteration %d)",
+                args.checkpoint_path, int(state.step))
+    return models, state
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     from latentpose_tpu.utils.compile_cache import enable_persistent_compilation_cache
@@ -196,24 +220,7 @@ def main(argv=None):
     if "--compute_dtype" not in argv:
         args.compute_dtype = "bfloat16"
 
-    rng = jax.random.PRNGKey(args.random_seed)
-    models = build.build_models(args, modules)
-    models["discriminator"] = ft.make_finetune_discriminator(
-        modules["discriminators"].Wrapper, args)
-    opt_g, opt_d = build.build_optimizers(args, modules)
-    # skeleton leaf names must match the checkpoint's avatar trainables
-    # (finetune_embedding / finetune_affine / X2Face identity images) in
-    # both params and ema_params, or from_state_dict drops the saved values
-    saved_params = ckpt_lib.load_arrays(args.checkpoint_path).get("params",
-                                                                  {})
-    finetune_leaves = {k: v for k, v in saved_params.items()
-                       if k.startswith("finetune_")} or None
-    skeleton = build.init_train_state(args, models, opt_g, opt_d, rng,
-                                      finetune=True,
-                                      finetune_leaves=finetune_leaves)
-    state = ckpt_lib.restore_state(args.checkpoint_path, skeleton)
-    logger.info("Loaded fine-tuned checkpoint %s (iteration %d)",
-                args.checkpoint_path, int(state.step))
+    models, state = load_finetuned(args, modules)
 
     drive_fn = drive_lib.make_drive_fn(models, args, use_ema=True)
 

@@ -114,3 +114,30 @@ def test_meta_finetune_drive_lifecycle(tmp_path):
     # ~28 dB (mean-abs ~10) fails CI (VERDICT r2 Weak #3)
     diff_q = np.abs(f1.astype(int) - f8q.astype(int)).mean()
     assert diff_q < 4.0, f"int8 drive diverged from exact: {diff_q:.2f}"
+
+    # 6) serving export: the fine-tuned avatar lowered to a self-contained
+    #    StableHLO artifact; deserialize and run a batch without touching
+    #    the checkpoint or the model zoo
+    import json
+
+    from latentpose_tpu.cli.export import main as export_main
+
+    artifact = export_main([
+        str(ft_ckpts[-1]),
+        "--destination", str(tmp_path / "avatar.stablehlo"),
+        "--export_batch_size", "4", "--transfer_dtype", "uint8",
+    ])
+    artifact = Path(artifact)
+    assert artifact.exists() and artifact.stat().st_size > 0
+    meta = json.loads(artifact.with_suffix(
+        artifact.suffix + ".json").read_text())
+    assert meta["batch_size"] == 4 and meta["image_size"] == 32
+
+    import jax
+
+    serve = jax.export.deserialize(bytearray(artifact.read_bytes()))
+    frames = np.random.RandomState(0).randint(
+        0, 256, (4, 32, 32, 3)).astype(np.uint8)
+    rgbs, segm = serve.call(frames)
+    assert rgbs.shape == (4, 32, 32, 3) and segm.shape == (4, 32, 32, 1)
+    assert np.isfinite(np.asarray(rgbs)).all()
