@@ -79,26 +79,46 @@ def test_optax_radam_matches_actual_reference_radam():
         from utils.radam import RAdam as RefRAdam
     except ImportError:
         pytest.skip("reference checkout not available")
+    # Provenance guard: `utils` is a generic top-level name — if any other
+    # test left a different `utils` package in sys.modules, this import
+    # would silently grab the wrong code.  Fail loudly instead (the round-4
+    # flake of this test motivated making every hidden-state channel
+    # explicit; see tests/conftest.py on the compilation cache).
+    import utils.radam as _radam_mod
+    assert _radam_mod.__file__.startswith("/root/reference/"), (
+        f"shadowed reference import: utils.radam resolved to "
+        f"{_radam_mod.__file__!r} (sys.modules['utils'] = "
+        f"{sys.modules.get('utils')!r})")
 
     rng = np.random.default_rng(0)
     w0 = rng.standard_normal((4, 3)).astype(np.float32)
     grads = [rng.standard_normal((4, 3)).astype(np.float32)
              for _ in range(10)]
 
-    p = torch.nn.Parameter(torch.from_numpy(w0.copy()))
-    opt = RefRAdam([p], lr=5e-4, betas=(0.0, 0.999), eps=1e-5)
-    torch_traj = []
-    for g in grads:
-        opt.zero_grad()
-        p.grad = torch.from_numpy(g)
-        opt.step()
-        torch_traj.append(p.detach().numpy().copy())
+    with torch.enable_grad():  # immune to a polluted global grad mode
+        p = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        opt = RefRAdam([p], lr=5e-4, betas=(0.0, 0.999), eps=1e-5)
+        torch_traj = []
+        for g in grads:
+            opt.zero_grad()
+            p.grad = torch.from_numpy(g)
+            opt.step()
+            torch_traj.append(p.detach().numpy().copy())
 
     tx = optax.radam(5e-4, b1=0.0, b2=0.999, eps=1e-5)
     params = jnp.asarray(w0)
     state = tx.init(params)
-    for g, expected in zip(grads, torch_traj):
+    for step, (g, expected) in enumerate(zip(grads, torch_traj), start=1):
         updates, state = tx.update(jnp.asarray(g), state, params)
         params = optax.apply_updates(params, updates)
-        np.testing.assert_allclose(np.asarray(params), expected,
-                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(params), expected, rtol=1e-5, atol=1e-6,
+            err_msg=(
+                # full diagnostic context for any recurrence of the
+                # round-4 flake: which step diverged and under what state
+                f"step {step}: torch {torch.__version__} "
+                f"default_dtype={torch.get_default_dtype()} "
+                f"grad_enabled={torch.is_grad_enabled()} "
+                f"jax_x64={jax.config.jax_enable_x64} "
+                f"backend={jax.default_backend()} "
+                f"radam_file={_radam_mod.__file__}"))
