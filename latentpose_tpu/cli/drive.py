@@ -217,7 +217,9 @@ def main(argv=None):
     args.finetune = True
     args.inference = True
     # serving default: bf16 unless the user pinned a dtype on the CLI
-    if "--compute_dtype" not in argv:
+    # (prefix-aware: catches --compute_dtype=float32 too, ADVICE r4)
+    from latentpose_tpu.config.argparse_utils import flag_given
+    if not flag_given(argv, "--compute_dtype"):
         args.compute_dtype = "bfloat16"
 
     models, state = load_finetuned(args, modules)

@@ -77,7 +77,8 @@ def main(argv=None):
     # inference overrides, identical to drive.py (reference drive.py:48-59)
     args.finetune = True
     args.inference = True
-    if "--compute_dtype" not in argv:
+    from latentpose_tpu.config.argparse_utils import flag_given
+    if not flag_given(argv, "--compute_dtype"):
         args.compute_dtype = "bfloat16"
 
     from latentpose_tpu.cli.drive import load_finetuned

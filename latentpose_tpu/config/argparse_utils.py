@@ -60,3 +60,10 @@ class MyArgumentParser(argparse.ArgumentParser):
             self.set_defaults(**{dest: default})
             return group
         return super().add_argument(*args, **kwargs)
+
+
+def flag_given(argv, flag):
+    """True when ``flag`` appears in ``argv`` either as a bare option or in
+    ``--flag=value`` form.  Exact-string membership misses the equals form,
+    silently overriding an explicitly pinned value (ADVICE r4)."""
+    return any(a == flag or a.startswith(flag + "=") for a in argv)

@@ -20,8 +20,33 @@ def _to_numpy_img(x):
     return np.clip(x, 0.0, 1.0)
 
 
+CAPTION_HEIGHT = 38  # reference utils/visualize.py:65
+
+
+def rasterize_caption_header(labels, col_width, total_width):
+    """White 38-px strip with one label drawn over each column start —
+    reference ``utils/visualize.py:65-70`` (cv2.FONT_HERSHEY_PLAIN, scale
+    1.25, black, thickness 2).  Falls back to a blank strip when cv2 is
+    unavailable (the labels still reach the sidecar .txt)."""
+    try:
+        import cv2
+    except ImportError:  # pragma: no cover - cv2 is present in CI
+        return np.ones((CAPTION_HEIGHT, total_width, 3), np.float32)
+    # OpenCV >= 5 asserts 8U input for putText, so rasterize in uint8
+    strip = np.full((CAPTION_HEIGHT, total_width, 3), 255, np.uint8)
+    for i, text in enumerate(labels):
+        cv2.putText(strip, text, (i * col_width + 1, CAPTION_HEIGHT - 4),
+                    cv2.FONT_HERSHEY_PLAIN, 1.25, (0, 0, 0), 2)
+    return strip.astype(np.float32) / 255.0
+
+
 def make_visual(data_dict, n_samples=2):
-    """Build (grid (H*, W*, 3), captions) from a populated data_dict."""
+    """Build (grid (H*, W*, 3), captions) from a populated data_dict.
+
+    The grid carries a rasterized caption header on top (reference
+    ``tensorboard_logging.py:33-44`` concatenates the caption strip above
+    the image grid before logging); ``captions`` additionally returns the
+    per-row label strings for the sidecar .txt."""
     suffixes = [""]
     for suffix in ("_other_video", "_other_person"):
         if ("fake_rgbs" + suffix) in data_dict:
@@ -55,8 +80,12 @@ def make_visual(data_dict, n_samples=2):
                     caption.append("pred segm")
         rows.append(np.concatenate(cols, axis=1))
         captions.append(" | ".join(caption))
+        if n == 0:
+            header_labels = list(caption)
+            col_width = cols[0].shape[1]
 
     width = max(r.shape[1] for r in rows)
     rows = [np.pad(r, ((0, 0), (0, width - r.shape[1]), (0, 0)))
             for r in rows]
-    return np.concatenate(rows, axis=0), captions
+    header = rasterize_caption_header(header_labels, col_width, width)
+    return np.concatenate([header] + rows, axis=0), captions

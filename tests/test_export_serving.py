@@ -101,5 +101,71 @@ def test_export_rejects_wrong_shape(setup_finetuned):
     blob, _ = export_serving_artifact(models, state, args, BATCH, jnp.uint8)
     restored = jax.export.deserialize(bytearray(blob))
     bad = np.zeros((BATCH + 1, IMG, IMG, 3), np.uint8)
-    with pytest.raises(Exception):
+    # jax.export raises a shape-assertion ValueError on input mismatch;
+    # matching it specifically keeps this test from passing on unrelated
+    # plumbing failures (ADVICE r4)
+    with pytest.raises(ValueError, match="[Ss]hape"):
         restored.call(bad)
+
+
+def test_export_explicit_platform_lowering(setup_finetuned):
+    """--platforms with an explicit list must be honored by the exported
+    module and still roundtrip numerically (ADVICE r4: the multi-platform
+    path had no coverage and is the likeliest to break across jax
+    upgrades)."""
+    from latentpose_tpu.cli.export import export_serving_artifact
+
+    args, models, state = setup_finetuned
+    rng = np.random.RandomState(1)
+    frames = rng.rand(BATCH, IMG, IMG, 3).astype(np.float32)
+
+    drive_fn = drive_lib.make_drive_fn(models, args, use_ema=True)
+    want_rgbs, want_segm = drive_fn(state, frames)
+
+    blob, exported = export_serving_artifact(
+        models, state, args, BATCH, jnp.float32, platforms=["cpu"])
+    assert list(exported.platforms) == ["cpu"]
+
+    restored = jax.export.deserialize(bytearray(blob))
+    assert list(restored.platforms) == ["cpu"]
+    got_rgbs, got_segm = restored.call(frames)
+    np.testing.assert_allclose(np.asarray(got_rgbs),
+                               np.asarray(want_rgbs), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_segm),
+                               np.asarray(want_segm), atol=1e-4)
+
+
+def test_export_int8_quantized_models(setup_finetuned):
+    """--quantize int8 export: the artifact built from int8-decoder models
+    roundtrips and stays within the established int8-vs-float tolerance
+    (same bar as tests/test_quantize.py / the 40 dB drive gate)."""
+    from latentpose_tpu.cli.export import export_serving_artifact
+
+    args, models, state = setup_finetuned
+    args_q = tiny_args(quantize="int8")
+    models_q = dict(models)
+    models_q["generator"] = gen_mod.Generator(
+        num_channels=args_q.num_channels,
+        max_num_channels=args_q.max_num_channels,
+        identity_embedding_size=args_q.embed_channels,
+        pose_embedding_size=args_q.pose_embedding_size,
+        output_image_size=args_q.image_size,
+        num_residual_blocks=args_q.gen_num_residual_blocks,
+        quantize=True)
+
+    rng = np.random.RandomState(2)
+    frames = rng.rand(BATCH, IMG, IMG, 3).astype(np.float32)
+
+    # float reference output from the same weights
+    drive_fn = drive_lib.make_drive_fn(models, args, use_ema=True)
+    want_rgbs, _ = drive_fn(state, frames)
+
+    blob, _ = export_serving_artifact(
+        models_q, state, args_q, BATCH, jnp.float32)
+    restored = jax.export.deserialize(bytearray(blob))
+    got_rgbs, got_segm = restored.call(frames)
+    assert np.asarray(got_segm).shape == (BATCH, IMG, IMG, 1)
+    err = np.abs(np.asarray(got_rgbs, np.float32)
+                 - np.asarray(want_rgbs, np.float32))
+    assert float(err.mean()) < 0.05, (
+        f"int8 export drifted from float: mean|err|={err.mean():.4f}")
