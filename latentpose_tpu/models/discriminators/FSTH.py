@@ -27,6 +27,9 @@ class Wrapper:
             num_blocks=args.dis_num_blocks,
             image_size=args.image_size,
             num_labels=args.num_labels,
+            # reference FSTH.py:87 vs :135 — same meta-1e-4 / finetune-
+            # default-eps split as the flagship discriminator
+            embed_sn_eps=1e-12 if getattr(args, "finetune", False) else 1e-4,
         )
 
     get_optimizer = no_landmarks.Wrapper.get_optimizer

@@ -53,6 +53,10 @@ class Wrapper:
             num_blocks=args.dis_num_blocks,
             image_size=args.image_size,
             num_labels=args.num_labels,
+            # the fine-tuned 1-row W is re-registered by the reference with
+            # torch's DEFAULT spectral_norm eps (1e-12), unlike the meta
+            # matrix's explicit 1e-4 (no_landmarks.py:87 vs :130-136)
+            embed_sn_eps=1e-12 if getattr(args, "finetune", False) else 1e-4,
         )
 
     @staticmethod
@@ -72,6 +76,10 @@ class Discriminator(nn.Module):
     num_blocks: int = 7
     image_size: int = 256
     num_labels: int = 1
+    # spectral-norm eps of the projection embed W: 1e-4 meta (reference
+    # no_landmarks.py:87), 1e-12 after enable_finetuning re-registers it
+    # with the torch default (:130-136)
+    embed_sn_eps: float = 1e-4
     dtype: Any = None
 
     @staticmethod
@@ -112,7 +120,8 @@ class Discriminator(nn.Module):
                      padding=self.padding, name=f"block{i}")
             for i, (in_ch, out_ch, down) in enumerate(self._plan())]
         self.linear = SNDense(1)
-        self.embed = SNEmbed(self.num_labels, self.embed_channels)
+        self.embed = SNEmbed(self.num_labels, self.embed_channels,
+                             sn_eps=self.embed_sn_eps)
 
     def pass_inputs(self, x, embed=None, update_stats: bool = False):
         """One discriminator pass. x: (B, H, W, 3) in the RGB range of the

@@ -303,6 +303,63 @@ def test_reference_discriminator_finetune_parity():
                                rtol=RTOL, atol=ATOL)
 
 
+def test_reference_discriminator_finetune_sn_eps_parity():
+    """enable_finetuning re-registers the 1-row W with torch's DEFAULT
+    spectral_norm eps=1e-12, not the meta matrix's 1e-4
+    (no_landmarks.py:87 vs :130-136).  Pinned with a tiny-norm ê whose
+    power-iteration vectors fall below 1e-4, where the two eps values give
+    visibly different sigma: our finetune-mode module (embed_sn_eps=1e-12)
+    must track torch's train-mode W_sn trajectory."""
+    from latentpose_tpu.models.discriminators import no_landmarks as dis_mod
+
+    dis = build_reference_discriminator(seed=11)
+    rng = np.random.default_rng(12)
+    # norm(ê) ~ 3e-6: W^T u and W v land well under 1e-4, so an eps=1e-4
+    # embed would clamp the normalizers while torch's 1e-12 does not
+    e_hat = (rng.standard_normal((1, 32)) * 1e-6).astype(np.float32)
+    dis.enable_finetuning({"embeds": torch.from_numpy(e_hat)})
+    dis.train()
+
+    params, spectral = cw.convert_flagship_discriminator(sd_np(dis))
+    ours = dis_mod.Discriminator(
+        num_channels=8, max_num_channels=32, embed_channels=32, num_blocks=4,
+        image_size=32, num_labels=1, embed_sn_eps=1e-12)
+    # also build the (wrong) meta-eps module to prove the probe has teeth
+    ours_meta_eps = dis_mod.Discriminator(
+        num_channels=8, max_num_channels=32, embed_channels=32, num_blocks=4,
+        image_size=32, num_labels=1, embed_sn_eps=1e-4)
+
+    label = jnp.zeros((2,), jnp.int32)
+
+    def run(module, spec):
+        rows, mut = module.apply({"params": params, "spectral": spec},
+                                 label, method="embed_labels",
+                                 update_stats=True, mutable=["spectral"])
+        return np.asarray(rows), mut["spectral"]
+
+    spec_ft, spec_meta = spectral, spectral
+    for step in range(3):
+        with torch.no_grad():
+            torch_rows = dis.embed(
+                torch.zeros(2, dtype=torch.int64)).numpy().copy()
+        got, spec_ft = run(ours, spec_ft)
+        wrong, spec_meta = run(ours_meta_eps, spec_meta)
+        np.testing.assert_allclose(got, torch_rows, rtol=1e-4, atol=1e-10)
+        # the meta-eps module must diverge on this probe, or the test
+        # would pass vacuously
+        assert not np.allclose(wrong, torch_rows, rtol=1e-2), \
+            f"step {step}: eps probe has no teeth"
+
+    # the production Wrapper wires the split from args.finetune
+    args = Namespace(dis_padding="zero", in_channels=3, num_channels=8,
+                     max_num_channels=32, embed_channels=32,
+                     dis_num_blocks=4, image_size=32, num_labels=1,
+                     finetune=True)
+    assert dis_mod.Wrapper.get_net(args).embed_sn_eps == 1e-12
+    args.finetune = False
+    assert dis_mod.Wrapper.get_net(args).embed_sn_eps == 1e-4
+
+
 def test_reference_discriminator_spectral_trajectory():
     """Train-mode protocol: per step the reference runs the SN embedding
     lookup once and the trunk three times (G-fake, detached fake, real),
