@@ -75,6 +75,14 @@ class Wrapper:
                         "as an explicit shard_map gradient pass with a "
                         "bf16 pmean (GSPMD's implicit reduce dtype is "
                         "not directly controllable).")
+        parser.add("--explicit_grad_reduce", action="store_bool",
+                   default=False,
+                   help="Force the explicit shard_map gradient pass even "
+                        "with f32 grads: per-shard batch statistics and "
+                        "per-shard loss means, i.e. the reference's "
+                        "per-GPU DDP semantics, without gradient "
+                        "compression.  (--grad_dtype bfloat16 implies "
+                        "this path.)")
         return parser
 
 
@@ -326,17 +334,65 @@ def make_train_step(models, criteria, args, opt_g, opt_d, donate=False,
 
     grad_accum = int(getattr(args, "grad_accum_steps", 1) or 1)
     grad_bf16 = getattr(args, "grad_dtype", "float32") == "bfloat16"
-    if grad_bf16 and grad_accum > 1:
-        raise ValueError("--grad_dtype bfloat16 and --grad_accum_steps > 1 "
-                         "are not composable yet")
-    if grad_bf16 and mesh is None:
-        raise ValueError("--grad_dtype bfloat16 needs a device mesh "
-                         "(--num_devices > 1)")
+    explicit_reduce = grad_bf16 or bool(
+        getattr(args, "explicit_grad_reduce", False))
+    if explicit_reduce and mesh is None:
+        raise ValueError(
+            "--grad_dtype bfloat16 / --explicit_grad_reduce need a device "
+            "mesh (--num_devices > 1)")
 
-    def make_bf16_grad_fn(grad_fn):
+    def make_accum_grad_fn(grad_fn):
+        """Microbatch accumulation with the grad_fn signature: split the
+        (per-call) batch into ``grad_accum`` microbatches under lax.scan,
+        run the full 4-pass GAN forward per microbatch (BN stats and
+        spectral-norm power iteration advance per microbatch, like k
+        reference forwards), and return f32-averaged gradients — each
+        criterion is a mean over its microbatch rows, so the average over
+        equal-size microbatches equals the full-batch gradient.  Peak
+        activation memory drops ~grad_accum-x; grads live once (carried,
+        not stacked).  Composes under make_bf16_grad_fn: accumulation stays
+        f32 per shard, only the final cross-shard reduction is compressed —
+        horovod's ``backward_passes_per_step`` + fp16 ``Compression``
+        semantics (reference train.py:110-116,201-211)."""
+
+        def accum_grads(trainable, params, bs, spec, batch, rng):
+            bsz = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            if bsz % grad_accum:
+                raise ValueError(
+                    f"--grad_accum_steps {grad_accum} must divide the "
+                    f"batch size {bsz}")
+
+            def split(x):
+                return x.reshape(
+                    (grad_accum, x.shape[0] // grad_accum) + x.shape[1:])
+
+            micro = jax.tree_util.tree_map(split, batch)
+            micro_rngs = jax.random.split(rng, grad_accum)
+
+            def body(carry, xs):
+                bs_c, spec_c, gsum = carry
+                mb, mrng = xs
+                (mloss, (mscal, nbs, nspec)), mgrads = grad_fn(
+                    trainable, params, bs_c, spec_c, mb, mrng)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, mgrads)
+                return (nbs, nspec, gsum), (mloss, mscal)
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), trainable)
+            (new_bs, new_spec, gsum), (loss_stack, scal_stack) = \
+                jax.lax.scan(body, (bs, spec, zeros), (micro, micro_rngs))
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+            scalars = jax.tree_util.tree_map(lambda s: s.mean(0), scal_stack)
+            return (loss_stack.mean(0), (scalars, new_bs, new_spec)), grads
+
+        return accum_grads
+
+    def make_explicit_grad_fn(grad_fn, reduce_dtype):
         """Explicit-collective DP gradient pass: per-shard backward, then a
-        bf16-compressed cross-shard gradient mean — the analog of the
-        reference's horovod fp16 allreduce (``train.py:110-116``).
+        cross-shard gradient mean in ``reduce_dtype`` — with bfloat16 the
+        analog of the reference's horovod fp16 allreduce
+        (``train.py:110-116``); with float32 the uncompressed per-GPU-DDP
+        regime (``--explicit_grad_reduce``).
 
         Per-shard semantics deliberately match the reference's per-GPU
         behavior: batch stats are computed from the LOCAL shard's rows
@@ -361,7 +417,7 @@ def make_train_step(models, criteria, args, opt_g, opt_d, donate=False,
                 trainable, params, bs, spec, local_batch, rng)
             grads = jax.tree_util.tree_map(
                 lambda g: jax.lax.pmean(
-                    g.astype(jnp.bfloat16), "data").astype(jnp.float32),
+                    g.astype(reduce_dtype), "data").astype(jnp.float32),
                 grads)
             scalars = jax.tree_util.tree_map(
                 lambda s: jax.lax.pmean(s, "data"), scalars)
@@ -383,49 +439,19 @@ def make_train_step(models, criteria, args, opt_g, opt_d, donate=False,
         batch = maybe_augment(batch, rng_aug)
         trainable = {"g": g_trainable(state.params, finetune),
                      "d": d_trainable(state.params)}
+        # Composition order matters: accumulation wraps the raw grad_fn so
+        # each shard accumulates its microbatch grads in f32; the bf16
+        # wrapper then compresses only the one final cross-shard pmean —
+        # horovod's Compression.fp16 + backward_passes_per_step pairing.
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        if grad_bf16:
-            grad_fn = make_bf16_grad_fn(grad_fn)
         if grad_accum > 1:
-            # Microbatch accumulation under lax.scan: each microbatch runs
-            # the full 4-pass GAN forward (BN stats and spectral-norm power
-            # iteration advance per microbatch, like k reference forwards);
-            # gradients are averaged — each criterion is a mean over its
-            # microbatch rows, so the average over equal-size microbatches
-            # equals the full-batch gradient.  Peak activation memory drops
-            # ~grad_accum-x; grads live once (carried, not stacked).
-            bsz = jax.tree_util.tree_leaves(batch)[0].shape[0]
-            if bsz % grad_accum:
-                raise ValueError(
-                    f"--grad_accum_steps {grad_accum} must divide the "
-                    f"batch size {bsz}")
-
-            def split(x):
-                return x.reshape(
-                    (grad_accum, x.shape[0] // grad_accum) + x.shape[1:])
-
-            micro = jax.tree_util.tree_map(split, batch)
-            micro_rngs = jax.random.split(rng, grad_accum)
-
-            def body(carry, xs):
-                bs, spec, gsum = carry
-                mb, mrng = xs
-                (_, (mscal, nbs, nspec)), mgrads = grad_fn(
-                    trainable, state.params, bs, spec, mb, mrng)
-                gsum = jax.tree_util.tree_map(jnp.add, gsum, mgrads)
-                return (nbs, nspec, gsum), mscal
-
-            zeros = jax.tree_util.tree_map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), trainable)
-            (new_bs, new_spec, gsum), scal_stack = jax.lax.scan(
-                body, (state.batch_stats, state.spectral, zeros),
-                (micro, micro_rngs))
-            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
-            scalars = jax.tree_util.tree_map(lambda s: s.mean(0), scal_stack)
-        else:
-            (_, (scalars, new_bs, new_spec)), grads = grad_fn(
-                trainable, state.params, state.batch_stats, state.spectral,
-                batch, rng)
+            grad_fn = make_accum_grad_fn(grad_fn)
+        if explicit_reduce:
+            grad_fn = make_explicit_grad_fn(
+                grad_fn, jnp.bfloat16 if grad_bf16 else jnp.float32)
+        (_, (scalars, new_bs, new_spec)), grads = grad_fn(
+            trainable, state.params, state.batch_stats, state.spectral,
+            batch, rng)
 
         updates_g, opt_state_g = opt_g.update(
             grads["g"], state.opt_state_g, trainable["g"])

@@ -226,17 +226,93 @@ def test_train_step_bf16_grads_parity_and_wire_format():
 
 
 def test_grad_dtype_guards():
-    """bf16 grads need a mesh and do not compose with grad accumulation."""
+    """bf16 grads need a mesh."""
     from latentpose_tpu.runners import holycow
 
     (args, models, criteria, opt_g, opt_d, *_rest) = _toy_trio()
     args.grad_dtype = "bfloat16"
     with pytest.raises(ValueError, match="mesh"):
         holycow.make_train_step(models, criteria, args, opt_g, opt_d)
+
+
+def test_bf16_grads_compose_with_grad_accum():
+    """`--grad_dtype bfloat16` + `--grad_accum_steps k` (VERDICT r4 item 5):
+    per-shard microbatch grads accumulate in f32 and ONLY the one final
+    cross-shard pmean is bf16-compressed — horovod's Compression.fp16 +
+    backward_passes_per_step pairing (reference train.py:110-116,201-211).
+
+    The exactness baseline is `--explicit_grad_reduce` with f32 grads: the
+    IDENTICAL shard_map structure (per-shard accumulation, per-shard batch
+    stats — horovod shards rows per worker first, then micro-steps, so a
+    global-accum baseline is the wrong partition: spectral-norm power
+    iteration advances between microbatches and different rows would see
+    different (u, v) states).  Against that baseline the forward — and
+    therefore every loss scalar — is identical to float tolerance, and the
+    params differ only by bf16 rounding of the one compressed pmean.
+
+    Also checks the compressed all-reduce count does NOT grow with
+    grad_accum (compression after accumulation, not per microbatch)."""
+    import re
+
+    from latentpose_tpu.data.synthetic import SyntheticDataLoader
+    from latentpose_tpu.runners import holycow
+
+    (args, models, criteria, opt_g, opt_d, state, _, rng) = _toy_trio()
+    # 32 rows: 4 per shard on the 8-device mesh, so each shard can still
+    # split its local batch into 2 (and, below, 4) microbatches
+    loader = SyntheticDataLoader(16, 32, num_labels=8, num_enc_frames=2)
+    data, target = loader.get_batch(0)
+    batch = {**data, **target}
+
+    mesh = create_mesh(8)
+    state_r = replicate(state, mesh)
+    batch_s = shard_batch(batch, mesh)
+
+    # uncompressed baseline: same explicit shard_map pass, f32 reduction
     args.grad_accum_steps = 2
-    with pytest.raises(ValueError, match="not composable"):
-        holycow.make_train_step(models, criteria, args, opt_g, opt_d,
-                                mesh=create_mesh(8))
+    args.explicit_grad_reduce = True
+    base_fn = holycow.make_train_step(models, criteria, args, opt_g, opt_d,
+                                      mesh=mesh)
+    s1, scalars1 = base_fn(state_r, batch_s, rng)
+
+    args.grad_dtype = "bfloat16"
+    step_fn = holycow.make_train_step(models, criteria, args, opt_g, opt_d,
+                                      mesh=mesh)
+
+    def bf16_allreduce_count(fn):
+        txt = fn.lower(state_r, batch_s, rng).as_text()
+        blocks = re.findall(
+            r"stablehlo\.all_reduce.{0,600}?->\s*tensor<[^>]*>", txt, re.S)
+        return sum("bf16" in b for b in blocks), len(blocks)
+
+    n_bf16_k2, n_all_k2 = bf16_allreduce_count(step_fn)
+    assert n_bf16_k2 >= 1 and n_bf16_k2 >= n_all_k2 * 0.5
+
+    # deeper accumulation must NOT add more compressed collectives
+    args.grad_accum_steps = 4
+    step_fn_k4 = holycow.make_train_step(models, criteria, args, opt_g,
+                                         opt_d, mesh=mesh)
+    n_bf16_k4, _ = bf16_allreduce_count(step_fn_k4)
+    assert n_bf16_k4 == n_bf16_k2, (
+        f"compressed all-reduce count grew with grad_accum "
+        f"({n_bf16_k2} -> {n_bf16_k4}): reduction is per-microbatch, "
+        f"not post-accumulation")
+
+    args.grad_accum_steps = 2
+    s8, scalars8 = step_fn(state_r, batch_s, rng)
+    # forward identical (compression touches only the gradient wire):
+    # every scalar matches the uncompressed path to float tolerance
+    for key in scalars1:
+        np.testing.assert_allclose(
+            float(scalars1[key]), float(scalars8[key]), rtol=1e-6,
+            err_msg=f"scalar {key} diverged — compression leaked into "
+                    f"the forward")
+    # params: bf16 rounding of the gradient mean only (Adam's rsqrt
+    # amplifies near-zero second-moment noise, hence the loose-ish rtol)
+    for leaf1, leaf8 in zip(jax.tree_util.tree_leaves(s1.params),
+                            jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(leaf1), np.asarray(leaf8),
+                                   rtol=2e-2, atol=2e-3)
 
 
 def test_transfer_dtype_uint8_wire_parity():
