@@ -194,8 +194,14 @@ def main(argv=None):
     # inference dataloader; we expose it as an explicit flag)
     parser.add("--crop", action="store_bool", default=False)
     # int8 MXU serving path (~2x conv throughput on v5e; approximate —
-    # see ops/quant.py). '' = exact bf16/f32 path.
-    parser.add("--quantize", type=str, default="", choices=["", "int8"])
+    # see ops/quant.py). '' = exact bf16/f32 path; 'int8' = dynamic
+    # per-call activation scales; 'int8_static' = per-input-channel scales
+    # calibrated on the first driver batches + bf16 epilogues.
+    parser.add("--quantize", type=str, default="",
+               choices=["", "int8", "int8_static"])
+    parser.add("--calibration_frames", type=int, default=64,
+               help="int8_static: how many leading driver frames feed the "
+                    "activation-scale calibration pass")
 
     # Reference CLI: ``drive.py CHECKPOINT [DATA_ROOT] --images_paths ...``;
     # rewrite positionals to flags *before* resolution so the saved
@@ -224,7 +230,11 @@ def main(argv=None):
 
     models, state = load_finetuned(args, modules)
 
-    drive_fn = drive_lib.make_drive_fn(models, args, use_ema=True)
+    drive_fn = None
+    if args.quantize != "int8_static":
+        drive_fn = drive_lib.make_drive_fn(models, args, use_ema=True)
+    # int8_static: the drive fn is built lazily after calibrating the
+    # activation scales on the first driver sequence's leading frames
 
     # multi-chip serving: shard frame batches over the data axis
     mesh = None
@@ -248,6 +258,24 @@ def main(argv=None):
             frames = inline_crop_frames(resolved, args)
         else:
             frames = load_driver_frames(resolved, args.image_size)
+        if drive_fn is None:  # --quantize int8_static, first sequence
+            import types as _types
+            args_dyn = _types.SimpleNamespace(**vars(args))
+            args_dyn.quantize = "int8"
+            models_dyn = dict(models)
+            models_dyn["generator"] = \
+                modules["generators"].Wrapper.get_net(args_dyn)
+            calib_frames = frames[:max(args.calibration_frames, 1)]
+            if calib_frames.dtype == np.uint8:
+                calib_frames = calib_frames.astype(np.float32) / 255.0
+            calib = drive_lib.calibrate_quant_scales(
+                models_dyn, args, state, calib_frames,
+                batch_size=args.drive_batch_size)
+            logger.info("int8_static: calibrated activation scales on %d "
+                        "frames (%d quantized convs)", len(calib_frames),
+                        len(jax.tree_util.tree_leaves(calib)))
+            drive_fn = drive_lib.make_drive_fn(models, args, use_ema=True,
+                                               quant_calib=calib)
         outputs = drive_lib.drive_sequence(
             drive_fn, state, frames, batch_size=args.drive_batch_size,
             mesh=mesh)

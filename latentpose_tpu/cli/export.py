@@ -37,10 +37,13 @@ logger = logging.getLogger("latentpose_tpu.export")
 
 
 def export_serving_artifact(models, state, args, batch_size, wire_dtype,
-                            platforms=None):
+                            platforms=None, quant_calib=None):
     """Lower the drive step (weights closed over -> baked as constants)
-    and return the serialized artifact bytes."""
-    drive_fn = drive_lib.make_drive_fn(models, args, use_ema=True)
+    and return the serialized artifact bytes.  ``quant_calib``: calibrated
+    activation scales for int8_static generators — baked in as constants
+    alongside the weights."""
+    drive_fn = drive_lib.make_drive_fn(models, args, use_ema=True,
+                                       quant_calib=quant_calib)
     # jax.export requires the jitted callable itself; closing over `state`
     # turns every weight into a constant of the exported module.
     serve = jax.jit(lambda frames: drive_fn(state, frames))
@@ -61,7 +64,13 @@ def main(argv=None):
     # comma-separated lowering platforms ('' = the current backend only);
     # e.g. 'tpu,cpu' produces one artifact runnable on either
     parser.add("--platforms", type=str, default="")
-    parser.add("--quantize", type=str, default="", choices=["", "int8"])
+    parser.add("--quantize", type=str, default="",
+               choices=["", "int8", "int8_static"])
+    parser.add("--calibration_source", type=str, default="synthetic://0",
+               help="int8_static: driver frames for the activation-scale "
+                    "calibration pass (dir / mp4 / synthetic://N); the "
+                    "calibrated scales are baked into the artifact")
+    parser.add("--calibration_frames", type=int, default=64)
 
     import sys
     argv = list(sys.argv[1:] if argv is None else argv)
@@ -81,15 +90,36 @@ def main(argv=None):
     if not flag_given(argv, "--compute_dtype"):
         args.compute_dtype = "bfloat16"
 
-    from latentpose_tpu.cli.drive import load_finetuned
+    from latentpose_tpu.cli.drive import load_driver_frames, load_finetuned
     models, state = load_finetuned(args, modules)
+
+    quant_calib = None
+    if args.quantize == "int8_static":
+        import types as _types
+
+        import numpy as np
+        args_dyn = _types.SimpleNamespace(**vars(args))
+        args_dyn.quantize = "int8"
+        models_dyn = dict(models)
+        models_dyn["generator"] = \
+            modules["generators"].Wrapper.get_net(args_dyn)
+        frames = load_driver_frames(args.calibration_source,
+                                    args.image_size)
+        frames = frames[:max(args.calibration_frames, 1)]
+        if frames.dtype == np.uint8:
+            frames = frames.astype(np.float32) / 255.0
+        quant_calib = drive_lib.calibrate_quant_scales(
+            models_dyn, args, state, frames,
+            batch_size=min(args.export_batch_size, len(frames)))
+        logger.info("int8_static: calibrated on %d frames from %s",
+                    len(frames), args.calibration_source)
 
     platforms = [p.strip() for p in args.platforms.split(",") if p.strip()]
     wire_dtype = jnp.uint8 if args.transfer_dtype == "uint8" \
         else jnp.float32
     blob, exported = export_serving_artifact(
         models, state, args, args.export_batch_size, wire_dtype,
-        platforms or None)
+        platforms or None, quant_calib=quant_calib)
 
     dest = Path(args.destination or (
         Path(args.checkpoint_path) / "serving.stablehlo"))

@@ -49,7 +49,9 @@ class Wrapper:
     def get_net(args):
         return Generator(
             padding=args.gen_padding,
-            quantize=getattr(args, "quantize", "") == "int8",
+            quantize=getattr(args, "quantize", "")
+            in ("int8", "int8_static"),
+            quant_static=getattr(args, "quantize", "") == "int8_static",
             out_channels=args.out_channels + 1,  # +1 segmentation channel
             num_channels=args.num_channels,
             max_num_channels=args.max_num_channels,
@@ -78,6 +80,9 @@ class Generator(nn.Module):
     # ops/quant.py).  The head conv stays bf16 — output quality is most
     # sensitive there and it is only ~3% of decoder time.
     quantize: bool = False
+    # --quantize int8_static: calibrated per-input-channel activation
+    # scales ('quant_calib' collection) + bf16 epilogues (ops/quant.py)
+    quant_static: bool = False
 
     def _schedule(self) -> Tuple[List[Tuple[int, int, bool]], List[int], int]:
         """Static channel plan.
@@ -163,6 +168,7 @@ class Generator(nn.Module):
             # 'ada' + norm_layer; only 'adain' is live (the reference's 'bn'
             # path references a never-imported SyncBatchNorm — dead code).
             x = ResBlock(in_ch, out_ch, norm_layer="adain",
+                         quant_static=self.quant_static,
                          upsample=up, padding=self.padding,
                          quantize=self.quantize,
                          name=f"block{i}")(

@@ -62,6 +62,7 @@ class ResBlock(nn.Module):
     padding: str = "zero"             # 'zero' | 'reflection'
     eps: float = 1e-4
     quantize: bool = False            # int8 inference path (ops/quant.py)
+    quant_static: bool = False        # calibrated static activation scales
 
     @nn.compact
     def __call__(self, x, ada0: Optional[AdaParams] = None,
@@ -101,6 +102,7 @@ class ResBlock(nn.Module):
             h = SNConv(self.out_features, (3, 3), padding=1,
                        use_bias=conv_bias, upsample_2x=True,
                        s2d_output=True, quantize=self.quantize,
+                       quant_static=self.quant_static,
                        name="conv0")(h, update_stats)
             h = norm_ops.adain_s2d(h, ada1[0], ada1[1], self.eps)
             h = nn.relu(h)
@@ -112,12 +114,14 @@ class ResBlock(nn.Module):
                 h = SNConv(self.out_features, (3, 3), padding=1,
                            use_bias=conv_bias, upsample_2x=True,
                            quantize=self.quantize,
+                       quant_static=self.quant_static,
                            name="conv0")(h, update_stats)
             else:
                 if self.upsample:
                     h = upsample_nearest_2x(h)
                 h = SNConv(self.out_features, (3, 3), padding=conv_padding,
                            use_bias=conv_bias, quantize=self.quantize,
+                       quant_static=self.quant_static,
                            name="conv0")(maybe_pad(h), update_stats)
 
             if self.norm_layer == "in":
@@ -131,6 +135,7 @@ class ResBlock(nn.Module):
             h = nn.relu(h)
         h = SNConv(self.out_features, (3, 3), padding=conv_padding,
                    use_bias=conv_bias, quantize=self.quantize,
+                       quant_static=self.quant_static,
                    name="conv1")(maybe_pad(h), update_stats)
         if self.downsample:
             h = avg_pool_2x(h)
@@ -142,6 +147,7 @@ class ResBlock(nn.Module):
             # low resolution, then upsample the (usually narrower) result
             s = SNConv(self.out_features, (1, 1), padding=0, use_bias=True,
                        quantize=self.quantize,
+                       quant_static=self.quant_static,
                        name="skip")(shortcut_in, update_stats)
             if self.upsample:
                 s = upsample_nearest_2x(s)

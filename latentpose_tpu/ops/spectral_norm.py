@@ -83,7 +83,38 @@ class _SNMixin:
         return (w2d / sigma.astype(w2d.dtype)).astype(w2d.dtype)
 
 
-class SNConv(nn.Module, _SNMixin):
+class _QuantConvMixin:
+    """int8 conv dispatch shared by the plain and fused-upsample branches:
+    dynamic per-call scales, or static calibrated per-input-channel scales
+    kept in the 'quant_calib' collection (running absmax while the
+    collection is mutable — the calibration pass)."""
+
+    def _quant_conv(self, x, kernel, strides, pad, dtype):
+        from latentpose_tpu.ops.quant import (act_absmax_per_channel,
+                                              conv2d_int8,
+                                              conv2d_int8_static)
+        # dynamic init must NOT grow a quant_calib collection (the dynamic
+        # module's variable tree stays identical to the float module's);
+        # the collection appears only for static modules and during the
+        # mutable calibration pass
+        track = (self.quant_static
+                 or (self.is_mutable_collection("quant_calib")
+                     and not self.is_initializing()))
+        if track:
+            calib = self.variable(
+                "quant_calib", "act_absmax",
+                lambda: jnp.zeros((x.shape[-1],), jnp.float32))
+            if self.is_mutable_collection("quant_calib") \
+                    and not self.is_initializing():
+                calib.value = jnp.maximum(calib.value,
+                                          act_absmax_per_channel(x))
+        if self.quant_static:
+            return conv2d_int8_static(x, kernel, calib.value, strides,
+                                      pad, out_dtype=dtype)
+        return conv2d_int8(x, kernel, strides, pad, out_dtype=dtype)
+
+
+class SNConv(nn.Module, _SNMixin, _QuantConvMixin):
     """3x3/1x1 conv with spectral norm (torch Conv2d + spectral_norm parity).
 
     NHWC inputs; kernel stored HWIO; the 2-D view for power iteration matches
@@ -107,6 +138,12 @@ class SNConv(nn.Module, _SNMixin):
     # ops/quant.py) — dynamic activation scale + per-channel weight scales.
     # Approximate; only the drive CLI's --quantize int8 enables it.
     quantize: bool = False
+    # with quantize: use STATIC per-input-channel activation scales from
+    # the 'quant_calib' collection (populated by a calibration pass that
+    # applies the module with mutable=['quant_calib']) instead of the
+    # per-call dynamic absmax — no serializing reduce, bf16 epilogues
+    # (--quantize int8_static)
+    quant_static: bool = False
     # grouped conv (torch Conv2d(groups=g)); the power-iteration 2-D view
     # matches torch's (O, I/g*kh*kw) reshape of its (O, I/g, kh, kw) kernel
     groups: int = 1
@@ -139,10 +176,9 @@ class SNConv(nn.Module, _SNMixin):
                                                   upsample2x_conv3x3,
                                                   upsample2x_conv3x3_s2d)
             if self.quantize:
-                from latentpose_tpu.ops.quant import conv2d_int8
-                y = conv2d_int8(x.astype(dtype),
-                                s2d_up_kernel(kernel_sn).astype(dtype),
-                                (1, 1), [(1, 1), (1, 1)], out_dtype=dtype)
+                y = self._quant_conv(x.astype(dtype),
+                                     s2d_up_kernel(kernel_sn).astype(dtype),
+                                     (1, 1), [(1, 1), (1, 1)], dtype)
                 if not self.s2d_output:
                     y = depth_to_space(y, self.features)
             elif self.s2d_output:
@@ -153,9 +189,8 @@ class SNConv(nn.Module, _SNMixin):
                                        kernel_sn.astype(dtype))
         elif self.quantize:
             assert self.groups == 1, "int8 path supports dense convs only"
-            from latentpose_tpu.ops.quant import conv2d_int8
-            y = conv2d_int8(x.astype(dtype), kernel_sn.astype(dtype),
-                            self.strides, pad, out_dtype=dtype)
+            y = self._quant_conv(x.astype(dtype), kernel_sn.astype(dtype),
+                                 self.strides, pad, dtype)
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(dtype), kernel_sn.astype(dtype),

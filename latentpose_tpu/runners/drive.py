@@ -21,12 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_drive_fn(models, args, use_ema: bool = True):
-    """Build the jitted frame-batch driver: (state, pose_frames) -> rgb.
-
-    pose_frames: (B, H, W, 3) float32 in [0, 1] OR uint8 (the wire format —
-    dequantized on device).  Returns (B, H, W, 3) fake_rgbs.
-    """
+def _prepare_drive(models, args, use_ema):
+    """Shared input-prep for the drive step and the int8 calibration pass:
+    (state, pose_frames) -> (gen_params, gen_spectral, gen_inputs)."""
     embedder = models["embedder"]
     generator = models["generator"]
     compute_dtype = jnp.bfloat16 \
@@ -37,7 +34,7 @@ def make_drive_fn(models, args, use_ema: bool = True):
     # frames directly instead of embeddings
     self_contained = "enc_rgbs" in getattr(generator, "INPUT_KEYS", ())
 
-    def drive_step(state, pose_frames):
+    def prepare(state, pose_frames):
         emb_params = (state.ema_params.get("embedder")
                       if use_ema else None) or state.params["embedder"]
         gen_params = (state.ema_params.get("generator")
@@ -71,15 +68,72 @@ def make_drive_fn(models, args, use_ema: bool = True):
             idt = jnp.broadcast_to(identity, (bsz,) + identity.shape[1:])
             gen_inputs = {"embeds": idt.astype(compute_dtype),
                           "pose_embedding": pose.astype(compute_dtype)}
+        return gen_params, state.spectral["generator"], gen_inputs
 
-        rgbs, segm = generator.apply(
-            {"params": gen_params,
-             "spectral": state.spectral["generator"]},
-            gen_inputs, update_stats=False)
+    return prepare
+
+
+def make_drive_fn(models, args, use_ema: bool = True, quant_calib=None):
+    """Build the jitted frame-batch driver: (state, pose_frames) -> rgb.
+
+    pose_frames: (B, H, W, 3) float32 in [0, 1] OR uint8 (the wire format —
+    dequantized on device).  Returns (B, H, W, 3) fake_rgbs.
+
+    ``quant_calib``: the calibrated activation-scale collection for
+    ``--quantize int8_static`` generators (see ``calibrate_quant_scales``);
+    closed over, so the export path bakes the scales into the artifact.
+    """
+    generator = models["generator"]
+    prepare = _prepare_drive(models, args, use_ema)
+
+    def drive_step(state, pose_frames):
+        gen_params, gen_spectral, gen_inputs = prepare(state, pose_frames)
+        variables = {"params": gen_params, "spectral": gen_spectral}
+        if quant_calib is not None:
+            variables["quant_calib"] = quant_calib
+        rgbs, segm = generator.apply(variables, gen_inputs,
+                                     update_stats=False)
         segm = jnp.ones_like(rgbs[..., :1]) if segm is None else segm
         return rgbs.astype(jnp.float32), segm.astype(jnp.float32)
 
     return jax.jit(drive_step)
+
+
+def calibrate_quant_scales(models, args, state, frames, batch_size=32,
+                           use_ema: bool = True):
+    """Static-int8 calibration pass (``--quantize int8_static``): run the
+    DYNAMIC-quant generator over calibration frames with the 'quant_calib'
+    collection mutable, accumulating each quantized conv's per-input-
+    channel running absmax (ops/quant.py).  Returns the collection to pass
+    to ``make_drive_fn(..., quant_calib=...)`` on the static generator.
+
+    ``models['generator']`` here must be the dynamic-int8 module
+    (quantize=True, quant_static=False) — calibration observes the same
+    activation distributions serving will see, without needing the static
+    scales it is about to produce."""
+    generator = models["generator"]
+    prepare = _prepare_drive(models, args, use_ema)
+
+    @jax.jit
+    def calib_step(state, pose_frames, calib):
+        gen_params, gen_spectral, gen_inputs = prepare(state, pose_frames)
+        variables = {"params": gen_params, "spectral": gen_spectral}
+        if calib:
+            variables["quant_calib"] = calib
+        _, mut = generator.apply(variables, gen_inputs, update_stats=False,
+                                 mutable=["quant_calib"])
+        return mut["quant_calib"]
+
+    calib = {}
+    n = len(frames)
+    for start in range(0, n, batch_size):
+        chunk = np.asarray(frames[start:start + batch_size])
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0)
+        calib = calib_step(state, jnp.asarray(chunk), calib)
+    return jax.device_get(calib)
 
 
 def drive_sequence(drive_fn, state, frames, batch_size=32, mesh=None):

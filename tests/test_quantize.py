@@ -70,6 +70,88 @@ def test_quantized_generator_output_close_to_exact():
     assert float(jnp.max(jnp.abs(segm - segm_q))) < 0.2
 
 
+def test_conv2d_int8_static_matches_float_within_quant_error():
+    """Static path (calibrated per-input-channel activation scales folded
+    into the weights, bf16 epilogue): same accuracy class as dynamic on
+    in-range activations, because conv(x, k) == conv(x/s, k*s) exactly."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from latentpose_tpu.ops.quant import (act_absmax_per_channel,
+                                          conv2d_int8_static)
+
+    rng = jax.random.PRNGKey(1)
+    kx, kk = jax.random.split(rng)
+    # per-channel spread: channel c scaled by (c+1)/8 — a per-tensor scale
+    # would waste range on the small channels, per-channel does not
+    x = jax.random.normal(kx, (2, 16, 16, 32)) \
+        * (jnp.arange(32) + 1.0) / 8.0
+    k = jax.random.normal(kk, (3, 3, 32, 64)) * 0.1
+
+    exact = lax.conv_general_dilated(x, k, (1, 1), [(1, 1), (1, 1)],
+                                     dimension_numbers=("NHWC", "HWIO",
+                                                        "NHWC"))
+    calib = act_absmax_per_channel(x)
+    quant = conv2d_int8_static(x, k, calib, out_dtype=jnp.float32)
+    rel = (jnp.linalg.norm(quant - exact) / jnp.linalg.norm(exact))
+    assert float(rel) < 0.02, float(rel)
+
+    # out-of-range activations saturate (standard static-quant semantics)
+    sat = conv2d_int8_static(x * 4.0, k, calib, out_dtype=jnp.float32)
+    assert bool(jnp.isfinite(sat).all())
+
+
+def test_static_generator_calibrate_then_match():
+    """int8_static end-to-end at module level: calibrate the dynamic module
+    (mutable quant_calib running absmax), then apply the static module with
+    the collected scales — same >=40 dB bar as dynamic, same param tree as
+    the float module."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from latentpose_tpu.models.generators import (
+        vector_pose_unsupervised_segmentation_noBottleneck as gen_mod)
+
+    def make(quantize):
+        args = types.SimpleNamespace(
+            image_size=64, out_channels=3, num_channels=16,
+            max_num_channels=128, embed_channels=64,
+            pose_embedding_size=32, gen_padding="zero",
+            gen_constant_input_size=4, gen_num_residual_blocks=1,
+            norm_layer="in", quantize=quantize)
+        return gen_mod.Wrapper.get_net(args)
+
+    gen = make("")
+    gen_dyn = make("int8")
+    gen_st = make("int8_static")
+    rng = jax.random.PRNGKey(5)
+    inputs = {"embeds": jax.random.normal(rng, (2, 64)),
+              "pose_embedding": jax.random.normal(rng, (2, 32))}
+    variables = gen.init(rng, inputs)
+    # the float checkpoint loads unchanged into the static module
+    assert "quant_calib" in gen_st.init(rng, inputs)
+    assert "quant_calib" not in gen_dyn.init(rng, inputs)
+
+    # calibration pass: dynamic module, mutable collection
+    _, mut = gen_dyn.apply(variables, inputs, update_stats=False,
+                           mutable=["quant_calib"])
+    calib = mut["quant_calib"]
+    assert jax.tree_util.tree_leaves(calib), "no convs calibrated"
+    assert all(float(leaf.max()) > 0
+               for leaf in jax.tree_util.tree_leaves(calib))
+
+    rgb, _ = gen.apply(variables, inputs, update_stats=False)
+    rgb_st, segm_st = gen_st.apply({**variables, "quant_calib": calib},
+                                   inputs, update_stats=False)
+    mse = float(jnp.mean(jnp.square(rgb - rgb_st)))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 40.0, f"static-int8 PSNR too low: {psnr:.1f} dB"
+    assert segm_st.shape[-1] == 1
+
+
 def test_drive_cli_accepts_quantize_flag(tmp_path):
     """Smoke: --quantize int8 drives a fine-tuned avatar end-to-end and
     matches the exact path closely on the rendered frames."""
@@ -109,19 +191,28 @@ def test_drive_cli_accepts_quantize_flag(tmp_path):
 
     out_exact = Path(drive("exact")[0])
     out_q = Path(drive("int8", "--quantize", "int8")[0])
-    assert out_exact.exists() and out_q.exists()
+    # int8_static: calibrates on the driver's leading frames, then serves
+    # with folded static scales + bf16 epilogues
+    out_s = Path(drive("int8s", "--quantize", "int8_static")[0])
+    assert out_exact.exists() and out_q.exists() and out_s.exists()
 
     import cv2
-    caps = [cv2.VideoCapture(str(p)) for p in (out_exact, out_q)]
-    ok0, f0 = caps[0].read()
-    ok1, f1 = caps[1].read()
-    for c in caps:
-        c.release()
-    assert ok0 and ok1
-    mse = np.mean((f0.astype(np.float32) - f1.astype(np.float32)) ** 2)
-    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
-    # measured 50.7 dB here; gate near the margin (VERDICT r2 Weak #3)
-    assert psnr > 40.0, f"int8 drive too far from exact: {psnr:.1f} dB"
+
+    def first_frame(p):
+        cap = cv2.VideoCapture(str(p))
+        ok, f = cap.read()
+        cap.release()
+        assert ok, p
+        return f.astype(np.float32)
+
+    f_exact = first_frame(out_exact)
+    for name, path in (("int8", out_q), ("int8_static", out_s)):
+        mse = np.mean((f_exact - first_frame(path)) ** 2)
+        psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+        # measured 50.7 dB (dynamic) here; gate near the margin
+        # (VERDICT r2 Weak #3)
+        assert psnr > 40.0, \
+            f"{name} drive too far from exact: {psnr:.1f} dB"
 
 
 

@@ -7,10 +7,11 @@ Usage:
     python tools/compare_outputs.py DIR_OR_MP4_A DIR_OR_MP4_B \
         [--vgg_weights_dir data/weights]
 
-Reports per-frame L1, PSNR, and a VGG-perceptual distance (the same
-caffe-VGG19 feature metric the training loss uses — with converted reference
-weights this is an LPIPS-class metric; with the random fallback tower it is
-only indicative, and says so).
+Reports per-frame L1, PSNR, the TRUE LPIPS (AlexNet taps + learned linear
+calibration heads, eval/lpips.py — the metric the ≤1e-3 target names; needs
+lpips_alex.npz per WEIGHTS.md, random-tower fallback is labeled non-LPIPS),
+and a VGG-perceptual distance (the caffe-VGG19 feature metric the training
+loss uses).
 """
 
 from __future__ import annotations
@@ -63,11 +64,14 @@ def main(argv=None):
               f"{len(frames_b)}); comparing first {n}")
 
     import jax.numpy as jnp
+    from latentpose_tpu.eval.lpips import lpips_fn
     from latentpose_tpu.losses.common.perceptual_loss import PerceptualLoss
     perc = PerceptualLoss(weight=1.0, vgg_weights_dir=args.vgg_weights_dir,
                           net="caffe", allow_random=args.allow_random_vgg)
+    lpips_d, lpips_armed = lpips_fn(args.vgg_weights_dir,
+                                    allow_random=args.allow_random_vgg)
 
-    l1s, psnrs, percs = [], [], []
+    l1s, psnrs, percs, lpipses = [], [], [], []
     for start in range(0, n, args.batch):
         a = np.stack(frames_a[start:start + args.batch])
         b = np.stack(frames_b[start:start + args.batch])
@@ -78,15 +82,23 @@ def main(argv=None):
         mse = ((a - b) ** 2).mean()
         psnrs.append(-10 * np.log10(max(mse, 1e-10)))
         percs.append(float(perc(jnp.asarray(a), jnp.asarray(b))))
+        lpipses.append(
+            float(np.mean(lpips_d(jnp.asarray(a), jnp.asarray(b)))))
 
     print(f"frames: {n}")
     print(f"L1: {np.mean(l1s):.6f}")
     print(f"PSNR: {np.mean(psnrs):.2f} dB")
+    print(f"LPIPS: {np.mean(lpipses):.6f}"
+          + ("" if lpips_armed
+             else "  (RANDOM tower — NOT LPIPS; convert weights per "
+                  "WEIGHTS.md `lpips` entry)"))
     print(f"VGG-perceptual distance: {np.mean(percs):.6f}"
           + ("" if (Path(args.vgg_weights_dir) / "vgg19_caffe.npz").exists()
-             else "  (RANDOM tower — convert vgg19 weights for an "
-                  "LPIPS-class number)"))
+             else "  (RANDOM tower — convert vgg19 weights for a "
+                  "calibrated number)"))
     return {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs)),
+            "lpips": float(np.mean(lpipses)),
+            "lpips_armed": bool(lpips_armed),
             "vgg": float(np.mean(percs))}
 
 

@@ -717,6 +717,39 @@ def convert_fabnet(sd):
 
 
 # --------------------------------------------------------------------------
+# LPIPS (PerceptualSimilarity v0.1, net='alex') — eval/lpips.py
+# --------------------------------------------------------------------------
+
+# torchvision alexnet.features conv module indices
+ALEXNET_CONV_INDICES = (0, 3, 6, 8, 10)
+
+
+def convert_lpips(alex_sd, lin_sd):
+    """(torchvision alexnet state dict, LPIPS v0.1 alex.pth lin heads) ->
+    eval/lpips.py flat npz: conv{i}/kernel|bias (HWIO) + lin{i}/weight
+    (a (C,) vector from the (1, C, 1, 1) 1x1 conv)."""
+    flat = {}
+    for i, idx in enumerate(ALEXNET_CONV_INDICES):
+        for pat in (f"features.{idx}.weight", f"{idx}.weight"):
+            if pat in alex_sd:
+                flat[f"conv{i}/kernel"] = conv_kernel(alex_sd[pat])
+                flat[f"conv{i}/bias"] = alex_sd[
+                    pat.replace("weight", "bias")]
+                break
+        else:
+            raise KeyError(f"alexnet features[{idx}] missing")
+    for i in range(len(ALEXNET_CONV_INDICES)):
+        for pat in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"):
+            if pat in lin_sd:
+                flat[f"lin{i}/weight"] = np.asarray(
+                    lin_sd[pat]).reshape(-1)
+                break
+        else:
+            raise KeyError(f"LPIPS lin head {i} missing")
+    return flat
+
+
+# --------------------------------------------------------------------------
 # Full reference checkpoint -> our .ckpt
 # --------------------------------------------------------------------------
 
@@ -784,14 +817,26 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("kind", choices=["vgg19", "vggface", "fan", "s3fd",
                                          "graphonomy", "x2face", "fabnet",
-                                         "checkpoint"])
-    parser.add_argument("input")
+                                         "lpips", "checkpoint"])
+    parser.add_argument("input",
+                        help="state-dict path; for `lpips`: "
+                             "ALEXNET_PTH:LIN_PTH (torchvision alexnet + "
+                             "PerceptualSimilarity v0.1 alex.pth)")
     parser.add_argument("output_dir")
     args = parser.parse_args(argv)
 
     out = Path(args.output_dir)
     if args.kind == "checkpoint":
         convert_reference_checkpoint(args.input, out)
+        return
+    if args.kind == "lpips":
+        alex_path, _, lin_path = args.input.partition(":")
+        if not lin_path:
+            raise SystemExit("lpips needs `ALEXNET_PTH:LIN_PTH` as input")
+        save_flat_npz(
+            convert_lpips(load_torch_state_dict(alex_path),
+                          load_torch_state_dict(lin_path)),
+            out / "lpips_alex.npz")
         return
     sd = load_torch_state_dict(args.input)
     if args.kind == "vgg19":
