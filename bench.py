@@ -201,61 +201,49 @@ def bench_train_e2e(step_fn, compiled, state, rng, batch, compiled_ms,
                          num_workers=min(cores, 8),
                          prefetch_size=4 * batch, shard_by_process=False)
 
-    def batches():
+    from latentpose_tpu.runners.loop import device_prefetch
+
+    def pairs():
         while True:
             for data_dict, target_dict in loader:
-                yield {**data_dict, **target_dict}
+                yield {**data_dict, **target_dict}, {}
 
-    def dev_prefetch(it, depth=2):
-        # double-buffered device_put: the (async) H2D copy of batch N+1
-        # overlaps the device executing step N — same mechanism as the
-        # production loop (runners/loop.device_prefetch)
-        import collections
-        q = collections.deque()
-        for b in it:
-            q.append(jax.device_put(b))
-            if len(q) >= depth:
-                yield q.popleft()
-
-    it = dev_prefetch(batches())
-    state, _ = compiled(state, next(it), rng)  # warm the render cache
-    jax.block_until_ready(state.params)
-    start = time.perf_counter()
-    for i in range(n_steps):
-        state, _ = compiled(state, next(it), jax.random.fold_in(rng, i))
-    jax.block_until_ready(state.params)
-    e2e_ms = (time.perf_counter() - start) / n_steps * 1e3
-    print(json.dumps({
-        "metric": "train_step_ms_256_e2e",
-        "value": round(e2e_ms, 1),
-        "unit": f"ms/step incl. input ({cores} host cores, synthetic)",
-        "vs_baseline": round(compiled_ms / e2e_ms, 3),
-    }))
-    sys.stdout.flush()
-
-    # --transfer_dtype uint8 wire format: 4x fewer H2D bytes (the in-step
-    # dequantize is runners/holycow.dequantize_batch) — the lever when the
-    # host->device link, not the step, bounds end-to-end throughput
-    try:
-        from latentpose_tpu.runners.loop import quantize_batch_u8
-        it_u8 = dev_prefetch(quantize_batch_u8(b) for b in batches())
-        first = next(it_u8)
-        compiled_u8 = step_fn.lower(state, first, rng).compile()
-        state, _ = compiled_u8(state, first, rng)
+    def run_variant(metric, transfer_dtype, unit, depth=3):
+        # the PRODUCTION prefetcher (runners/loop.device_prefetch):
+        # threaded producer staging quantize + device_put ahead of the
+        # consumer's dispatch, async H2D overlapping the device step
+        nonlocal state  # the step donates its input state buffers
+        feed_args = types.SimpleNamespace(transfer_dtype=transfer_dtype)
+        it = device_prefetch(pairs(), feed_args, mesh=None, depth=depth)
+        first = next(it)
+        compiled_v = step_fn.lower(state, first, rng).compile()
+        state, _ = compiled_v(state, first, rng)  # warm the render cache
         jax.block_until_ready(state.params)
         start = time.perf_counter()
         for i in range(n_steps):
-            state, _ = compiled_u8(state, next(it_u8),
-                                   jax.random.fold_in(rng, i))
+            state, _ = compiled_v(state, next(it),
+                                  jax.random.fold_in(rng, i))
         jax.block_until_ready(state.params)
-        u8_ms = (time.perf_counter() - start) / n_steps * 1e3
+        ms = (time.perf_counter() - start) / n_steps * 1e3
         print(json.dumps({
-            "metric": "train_step_ms_256_e2e_u8",
-            "value": round(u8_ms, 1),
-            "unit": f"ms/step incl. uint8-wire input ({cores} host cores)",
-            "vs_baseline": round(compiled_ms / u8_ms, 3),
+            "metric": metric,
+            "value": round(ms, 1),
+            "unit": unit,
+            "vs_baseline": round(compiled_ms / ms, 3),
         }))
         sys.stdout.flush()
+        return ms
+
+    e2e_ms = run_variant(
+        "train_step_ms_256_e2e", "float32",
+        f"ms/step incl. input ({cores} host cores, synthetic)")
+    try:
+        # --transfer_dtype uint8 wire format: 4x fewer H2D bytes (the
+        # in-step dequantize is runners/holycow.dequantize_batch) — the
+        # lever when the host->device link bounds end-to-end throughput
+        run_variant(
+            "train_step_ms_256_e2e_u8", "uint8",
+            f"ms/step incl. uint8-wire input ({cores} host cores)")
     except Exception as exc:
         print(f"uint8 e2e bench failed: {exc}", file=sys.stderr)
     return e2e_ms

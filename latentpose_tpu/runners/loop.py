@@ -38,19 +38,22 @@ def quantize_batch_u8(batch):
     return out
 
 
-def device_prefetch(dataloader, args, mesh, depth=2):
+def device_prefetch(dataloader, args, mesh, depth=3):
     """Iterate (data_dict, target_dict) pairs as device-resident batches,
-    issuing host->device transfers ``depth`` batches ahead of consumption.
+    issuing host->device transfers up to ``depth`` batches ahead of
+    consumption FROM A DEDICATED PRODUCER THREAD.
 
-    JAX transfers are asynchronous, so the copy of batch N+1 overlaps the
-    device executing step N — this is the double-buffered device_put that
-    hides the input feed whenever the link (PCIe, or a network tunnel) is
-    slower than the step (measured: train_step_ms_256_e2e* in BENCH).
-    Composes with --transfer_dtype uint8 (quantize before the put).
+    Two overlaps compose here (measured: train_step_ms_256_e2e* in BENCH):
+    - JAX transfers are asynchronous, so the wire copy of batch N+k
+      overlaps the device executing step N;
+    - the host-side work per batch (the --transfer_dtype uint8 quantize
+      pass and device_put's staging memcpy, which releases the GIL) runs
+      in the producer thread, overlapping the consumer's step dispatch —
+      on few-core hosts this is the difference between the feed
+      serializing behind dispatch and riding alongside it.
     """
-    import collections
-
-    queue = collections.deque()
+    import queue as queue_mod
+    import threading
 
     def prepare(pair):
         data_dict, target_dict = pair
@@ -61,12 +64,39 @@ def device_prefetch(dataloader, args, mesh, depth=2):
             return shard_batch(batch, mesh)
         return jax.device_put(batch)
 
-    for pair in dataloader:
-        queue.append(prepare(pair))
-        if len(queue) >= depth:
-            yield queue.popleft()
-    while queue:
-        yield queue.popleft()
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(1, depth))
+    sentinel = object()
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for pair in dataloader:
+                item = prepare(pair)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue_mod.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(sentinel)
+        except BaseException as exc:  # surface producer errors to consumer
+            q.put(exc)
+
+    thread = threading.Thread(target=producer, daemon=True,
+                              name="lpt-device-prefetch")
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 logger = logging.getLogger("latentpose_tpu.loop")
 
