@@ -191,22 +191,36 @@ def bench_train_e2e(step_fn, compiled, state, rng, batch, compiled_ms,
     from latentpose_tpu.data.synthetic import SyntheticDataset
 
     cores = os.cpu_count() or 1
-    # 8 labels x 16 frames @256² ≈ 128 MB of rendered frames — fits the
-    # synthetic renderer's 256 MB slab cache, so epochs >= 2 are cache-warm
-    # (16 labels x 32 frames would thrash the slab and measure rendering,
-    # not the loop)
-    dataset = SyntheticDataset(256, num_labels=8, num_enc_frames=8,
-                               frames_per_video=16)
-    loader = BatchLoader(dataset, batch, shuffle=True, seed=0,
-                         num_workers=min(cores, 8),
-                         prefetch_size=4 * batch, shard_by_process=False)
 
     from latentpose_tpu.runners.loop import device_prefetch
 
-    def pairs():
-        while True:
-            for data_dict, target_dict in loader:
-                yield {**data_dict, **target_dict}, {}
+    def make_pairs(wire_dtype):
+        # 8 labels x 16 frames @256² ≈ 128 MB of rendered frames — fits
+        # the synthetic renderer's slab cache, so epochs >= 2 are
+        # cache-warm (16 labels x 32 frames would thrash the slab and
+        # measure rendering, not the loop).  wire_dtype='uint8' emits the
+        # wire format straight from the render cache — no per-batch
+        # f32->u8 pass (the production --transfer_dtype uint8 data path).
+        from latentpose_tpu.data.synthetic import (render_face,
+                                                   render_face_u8)
+        for lb in range(8):     # warm the render cache fully up front so
+            for f in range(16):  # the timed loop measures the machinery,
+                render_face(lb, f, 256)          # not first-touch renders
+                if wire_dtype == "uint8":
+                    render_face_u8(lb, f, 256)
+        dataset = SyntheticDataset(256, num_labels=8, num_enc_frames=8,
+                                   frames_per_video=16,
+                                   wire_dtype=wire_dtype)
+        loader = BatchLoader(dataset, batch, shuffle=True, seed=0,
+                             num_workers=min(cores, 8),
+                             prefetch_size=4 * batch,
+                             shard_by_process=False)
+
+        def pairs():
+            while True:
+                for data_dict, target_dict in loader:
+                    yield {**data_dict, **target_dict}, {}
+        return pairs
 
     def run_variant(metric, transfer_dtype, unit, depth=3):
         # the PRODUCTION prefetcher (runners/loop.device_prefetch):
@@ -214,7 +228,8 @@ def bench_train_e2e(step_fn, compiled, state, rng, batch, compiled_ms,
         # consumer's dispatch, async H2D overlapping the device step
         nonlocal state  # the step donates its input state buffers
         feed_args = types.SimpleNamespace(transfer_dtype=transfer_dtype)
-        it = device_prefetch(pairs(), feed_args, mesh=None, depth=depth)
+        it = device_prefetch(make_pairs(transfer_dtype)(), feed_args,
+                             mesh=None, depth=depth)
         first = next(it)
         compiled_v = step_fn.lower(state, first, rng).compile()
         state, _ = compiled_v(state, first, rng)  # warm the render cache

@@ -52,6 +52,9 @@ class Wrapper:
             inference=bool(getattr(args, "inference", False)),
             seed=args.random_seed + (0 if part == "train" else 1),
             stickmen=bool(getattr(args, "synthetic_stickmen", False)),
+            # --transfer_dtype uint8: emit the wire format straight from
+            # the render cache; the step dequantizes on device
+            wire_dtype=getattr(args, "transfer_dtype", "float32"),
         )
 
 
@@ -134,6 +137,48 @@ def render_face(label: int, frame: int, image_size: int):
         _render_cache[key] = (img, segm)
         _render_cache_bytes += nbytes
     return img, segm
+
+
+def render_face_u8(label: int, frame: int, image_size: int):
+    """uint8 twin of :func:`render_face` for the uint8 wire format:
+    (img_u8, segm_u8 in {0,255}, target_u8 = img*segm pre-masked), each
+    exactly ``quantize_batch_u8`` of the f32 render (x*255+0.5 floor), so
+    the device-side /255 reproduces the f32 path to 8-bit rounding —
+    without any per-batch f32->u8 conversion pass on the host.  Cached
+    like the f32 renders."""
+    global _render_cache_bytes
+    key = ("u8", int(label), int(frame) % 32, int(image_size))
+    hit = _render_cache.get(key)
+    if hit is not None:
+        return hit
+    img, segm = render_face(label, frame, image_size)
+    img_u8 = (img * 255.0 + 0.5).astype(np.uint8)
+    segm_u8 = (segm * 255.0 + 0.5).astype(np.uint8)
+    target_u8 = ((img * segm) * 255.0 + 0.5).astype(np.uint8)
+    nbytes = img_u8.nbytes + segm_u8.nbytes + target_u8.nbytes
+    if _render_cache_bytes + nbytes <= _RENDER_CACHE_CAP:
+        img_u8 = _slab_pool.store(img_u8)
+        segm_u8 = _slab_pool.store(segm_u8)
+        target_u8 = _slab_pool.store(target_u8)
+        _render_cache[key] = (img_u8, segm_u8, target_u8)
+        _render_cache_bytes += nbytes
+    return img_u8, segm_u8, target_u8
+
+
+def render_stickman_u8(label: int, frame: int, image_size: int):
+    """uint8 stickman (the raw cv2 raster — /255 moves on-device)."""
+    global _render_cache_bytes
+    key = ("stick_u8", int(label), int(frame) % 32, int(image_size))
+    hit = _render_cache.get(key)
+    if hit is not None:
+        return hit
+    out = (render_stickman(label, frame, image_size)
+           * 255.0 + 0.5).astype(np.uint8)
+    if _render_cache_bytes + out.nbytes <= _RENDER_CACHE_CAP:
+        out = _slab_pool.store(out)
+        _render_cache[key] = out
+        _render_cache_bytes += out.nbytes
+    return out
 
 
 def _render_face_uncached(label: int, frame: int, image_size: int):
@@ -280,13 +325,18 @@ class SyntheticDataset:
     cross-driving grids (reference ``holycow.py:266-342``)."""
 
     def __init__(self, image_size, num_labels, num_enc_frames,
-                 frames_per_video, inference=False, stickmen=False):
+                 frames_per_video, inference=False, stickmen=False,
+                 wire_dtype="float32"):
         self.image_size = image_size
         self.num_labels = num_labels
         self.num_enc_frames = num_enc_frames
         self.frames_per_video = frames_per_video
         self.inference = inference
         self.stickmen = stickmen
+        # 'uint8': emit the uint8 wire format directly from the render
+        # cache (no per-batch f32->u8 pass, ~4x less host memory traffic;
+        # values == quantize_batch_u8 of the f32 path)
+        self.wire_dtype = wire_dtype
         self.loader = _SyntheticSampleLoader()
 
     def __len__(self):
@@ -297,16 +347,25 @@ class SyntheticDataset:
                if self.loader.deterministic else np.random)
         frames = rng.randint(0, self.frames_per_video,
                              size=self.num_enc_frames + 1)
-        enc = np.stack([render_face(label, f, self.image_size)[0]
-                        for f in frames[:-1]]).astype(np.float32)
-        driver, segm = render_face(label, int(frames[-1]), self.image_size)
+        u8 = self.wire_dtype == "uint8"
+        if u8:
+            enc = np.stack([render_face_u8(label, f, self.image_size)[0]
+                            for f in frames[:-1]])
+            driver, segm, target = render_face_u8(
+                label, int(frames[-1]), self.image_size)
+        else:
+            enc = np.stack([render_face(label, f, self.image_size)[0]
+                            for f in frames[:-1]])
+            driver, segm = render_face(label, int(frames[-1]),
+                                       self.image_size)
+            target = None
         data_dict = {"enc_rgbs": enc,
-                     "pose_input_rgbs": driver[None].astype(np.float32)}
+                     "pose_input_rgbs": driver[None]}
         if self.stickmen:
+            stick = render_stickman_u8 if u8 else render_stickman
             data_dict["enc_stickmen"] = np.stack(
-                [render_stickman(label, f, self.image_size)
-                 for f in frames[:-1]]).astype(np.float32)
-            data_dict["dec_stickmen"] = render_stickman(
+                [stick(label, f, self.image_size) for f in frames[:-1]])
+            data_dict["dec_stickmen"] = stick(
                 label, int(frames[-1]), self.image_size)[None]
             data_dict["dec_keypoints"] = (
                 synthetic_keypoints(label, int(frames[-1]),
@@ -314,9 +373,9 @@ class SyntheticDataset:
                 / self.image_size)[None]
         target_dict = {"label": int(label)}
         if not self.inference:
-            data_dict["target_rgbs"] = \
-                (driver * segm)[None].astype(np.float32)
-            target_dict["real_segm"] = segm[None].astype(np.float32)
+            data_dict["target_rgbs"] = target[None] if u8 \
+                else (driver * segm)[None]
+            target_dict["real_segm"] = segm[None]
         return data_dict, target_dict
 
     def get_other_sample_by_label(self, label, same_identity=False,
@@ -343,8 +402,10 @@ class SyntheticDataLoader:
 
     def __init__(self, image_size, batch_size, num_labels, num_enc_frames=8,
                  frames_per_video=32, finetune=False, inference=False,
-                 seed=0, steps_per_epoch=None, stickmen=False):
+                 seed=0, steps_per_epoch=None, stickmen=False,
+                 wire_dtype="float32"):
         self.stickmen = stickmen
+        self.wire_dtype = wire_dtype
         self.image_size = image_size
         self.batch_size = batch_size
         self.num_labels = num_labels
@@ -364,7 +425,7 @@ class SyntheticDataLoader:
         # (meta mode only; the fine-tune loop never cross-drives)
         self.dataset = None if finetune else SyntheticDataset(
             image_size, self.num_labels, num_enc_frames, frames_per_video,
-            inference=inference, stickmen=stickmen)
+            inference=inference, stickmen=stickmen, wire_dtype=wire_dtype)
 
     def __len__(self):
         return self.steps_per_epoch
@@ -372,25 +433,36 @@ class SyntheticDataLoader:
     def sample(self, label: int, rng: np.random.RandomState, extras=None):
         frames = rng.randint(0, self.frames_per_video,
                              size=self.num_enc_frames + 2)
+        u8 = self.wire_dtype == "uint8"
+
+        def face(f):
+            if u8:
+                img, segm, target = render_face_u8(label, f,
+                                                   self.image_size)
+            else:
+                img, segm = render_face(label, f, self.image_size)
+                target = None
+            return img, segm, target
+
         if self.finetune:
             f = frames[0]
-            img, segm = render_face(label, f, self.image_size)
+            img, segm, pre_target = face(f)
             enc = np.stack([img] * self.num_enc_frames)
-            driver, target, tsegm = img, img, segm
+            driver, target, tsegm = img, (pre_target if u8 else img), segm
             enc_frames, drv_frame = [f] * self.num_enc_frames, f
         else:
-            enc = np.stack([
-                render_face(label, f, self.image_size)[0]
-                for f in frames[:self.num_enc_frames]])
-            driver, _ = render_face(label, frames[-2], self.image_size)
-            target, tsegm = render_face(label, frames[-2], self.image_size)
+            enc = np.stack([face(f)[0]
+                            for f in frames[:self.num_enc_frames]])
+            driver, tsegm, pre_target = face(frames[-2])
+            target = pre_target if u8 else driver
             enc_frames, drv_frame = frames[:self.num_enc_frames], frames[-2]
         if self.stickmen and extras is not None:
+            stick = render_stickman_u8 if u8 else render_stickman
             extras.append({
                 "enc_stickmen": np.stack(
-                    [render_stickman(label, f, self.image_size)
-                     for f in enc_frames]).astype(np.float32),
-                "dec_stickmen": render_stickman(
+                    [stick(label, f, self.image_size)
+                     for f in enc_frames]),
+                "dec_stickmen": stick(
                     label, int(drv_frame), self.image_size)[None],
                 "dec_keypoints": (synthetic_keypoints(
                     label, int(drv_frame), self.image_size).flatten()
@@ -411,16 +483,21 @@ class SyntheticDataLoader:
             targets.append(t)
             segms.append(s)
         data_dict = {
-            "enc_rgbs": np.stack(encs).astype(np.float32),
-            "pose_input_rgbs": np.stack(drivers)[:, None].astype(np.float32),
+            "enc_rgbs": np.stack(encs),
+            "pose_input_rgbs": np.stack(drivers)[:, None],
         }
         if extras:
             for key in extras[0]:
                 data_dict[key] = np.stack([x[key] for x in extras])
+        if self.wire_dtype == "uint8":
+            # targets come pre-masked from the u8 render cache
+            target_rgbs = np.stack(targets)[:, None]
+        else:
+            target_rgbs = (np.stack(targets)
+                           * np.stack(segms))[:, None].astype(np.float32)
         target_dict = {
-            "target_rgbs": (np.stack(targets)
-                            * np.stack(segms))[:, None].astype(np.float32),
-            "real_segm": np.stack(segms)[:, None].astype(np.float32),
+            "target_rgbs": target_rgbs,
+            "real_segm": np.stack(segms)[:, None],
             "label": labels.astype(np.int32),
         }
         return data_dict, target_dict

@@ -48,8 +48,10 @@ def compute_averaged_identity_embedding(models, state, dataloader, args):
                                          method="get_identity_embedding")
         return elemwise.reshape(-1, args.embed_channels)
 
+    from latentpose_tpu.runners.loop import dequantize_batch_host
     chunks = []
     for data_dict, _ in dataloader:
+        data_dict = dequantize_batch_host(data_dict)  # uint8 wire format
         stick = data_dict.get("enc_stickmen")
         chunks.append(np.asarray(embed(
             jnp.asarray(data_dict["enc_rgbs"]),

@@ -26,6 +26,16 @@ _TRANSFER_IMAGE_KEYS = ("enc_rgbs", "pose_input_rgbs", "target_rgbs",
                         "real_segm", "enc_stickmen", "dec_stickmen")
 
 
+def dequantize_batch_host(batch):
+    """Host-side inverse of the uint8 wire format, for the infrequent aux
+    paths (fixed probes, validation, finetune ê) that consume raw loader
+    batches — with ``--transfer_dtype uint8`` the loaders may emit uint8
+    directly (e.g. data/synthetic.py's render-cache wire path)."""
+    return {k: (np.asarray(v, np.float32) / 255.0
+                if getattr(v, "dtype", None) == np.uint8 else v)
+            for k, v in batch.items()}
+
+
 def quantize_batch_u8(batch):
     """Host side of --transfer_dtype uint8: [0,1] f32 image arrays ->
     uint8 bytes (the jitted step rescales on device —
@@ -181,7 +191,7 @@ def run_fixed_id_eval(dataloader, eval_forward, state, args, writer,
         for start in range(0, len(ids), args.batch_size_inference):
             chunk = ids[start:start + args.batch_size_inference]
             data, target = default_collate([dataset[i] for i in chunk])
-            fixed = {**data, **target}
+            fixed = dequantize_batch_host({**data, **target})
             # seeded deterministic augmentations, as the reference applies
             # to its fixed probes (imgaug re-seeded to 666 every round —
             # reference holycow.py:349-356).  The key is folded with the
@@ -243,7 +253,7 @@ def run_validation(dataloader, eval_forward, state, args, epoch,
     end = time.time()
     for it, (data_dict, target_dict) in enumerate(dataloader):
         meter.add("Data_time", time.time() - end)
-        batch = {**data_dict, **target_dict}
+        batch = dequantize_batch_host({**data_dict, **target_dict})
         outputs = eval_forward(state, batch)
         merged = {**batch, **{k: np.asarray(v) for k, v in outputs.items()}}
         for metric in metrics:

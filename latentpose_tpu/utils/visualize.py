@@ -12,6 +12,8 @@ import numpy as np
 
 
 def _to_numpy_img(x):
+    if getattr(x, "dtype", None) == np.uint8:  # uint8 wire format
+        x = np.asarray(x, np.float32) / 255.0
     x = np.asarray(x, np.float32)
     if x.ndim == 4:  # (T, H, W, C) -> first frame
         x = x[0]
