@@ -19,15 +19,21 @@ Two schemes:
    - weights: symmetric per-output-channel scales (after spectral-norm
      sigma scaling, which is static at inference).
 
-2. **Static** (``--quantize int8_static``, VERDICT r4 item 9): per-INPUT-
-   channel activation scales calibrated over N batches (running absmax in
-   the ``quant_calib`` flax collection), folded EXACTLY into the weights:
-   ``conv(x, k) == conv(x / s_c, k * s_c)``, so the quantized activation is
-   just an elementwise multiply (fuses into the producer's epilogue — no
-   serializing reduce), and the kernel fold + per-out-channel quantization
-   are static (constant-folded in the export artifact).  Epilogues run in
-   bfloat16 (int32 accumulators carry <= ~2^21 here, within bf16's
-   dynamic range; the cast error is below the int8 rounding floor).
+2. **Static** (``--quantize int8_static``, VERDICT r4 item 9): PER-TENSOR
+   activation scales calibrated over N batches (running per-channel absmax
+   in the ``quant_calib`` flax collection, reduced to the tensor max at
+   serve time), so the quantized activation is one fused elementwise
+   multiply — no per-call absmax reduce serializing against the MXU.
+   Measured on the v5e flagship decoder: **2491 fps vs 2302 dynamic vs
+   1810 bf16** (1.38x over bf16), equal PSNR to dynamic.  Two design
+   points were measured and REJECTED: per-INPUT-channel scales folded into
+   the weights (``conv(x, k) == conv(x/s_c, k*s_c)``, exact) lower to the
+   same int8 convolutions but run at 1588 fps — XLA:TPU schedules the
+   per-channel pre-scale multiply poorly — and give no quality benefit on
+   this decoder (AdaIN normalizes per sample, so channel ranges are
+   already balanced); f32 vs bf16 epilogues measured identical PSNR
+   (28.0 == 28.0 dB on the random-weight flagship probe), so epilogues
+   run in bfloat16 on both paths.
 
 Training and the exactness-gated paths never import this module; the drive
 CLI enables it with ``--quantize int8|int8_static`` (the latter calibrates
@@ -92,18 +98,19 @@ def conv2d_int8_static(x, kernel, act_absmax, strides=(1, 1),
     """Static-calibration quantized NHWC conv.
 
     ``act_absmax``: (C,) calibrated per-input-channel absolute maxima
-    (quant_calib collection).  The per-channel activation scale is folded
-    exactly into the kernel — ``conv(x, k) == conv(x/s, k*s)`` — so the
-    activation quantization is one fused elementwise multiply and the
-    folded-kernel quantization is fully static (constant-folded when the
-    weights are compile-time constants, e.g. in the export artifact).
+    (quant_calib collection), reduced to the PER-TENSOR max here — the
+    activation quantization is one fused scalar multiply with no per-call
+    absmax reduce (the dynamic path's serialization), and with weights as
+    compile-time constants (export artifact) the kernel quantization
+    constant-folds too.  Per-channel scales folded into the kernel were
+    measured slower on v5e with no quality gain (module docstring).
     Activations beyond the calibrated range saturate, standard static-
     quantization semantics."""
-    s_act = jnp.maximum(act_absmax.astype(jnp.float32) / 127.0, 1e-12)
+    s_act = jnp.maximum(
+        jnp.max(act_absmax.astype(jnp.float32)) / 127.0, 1e-12)
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / s_act)),
                   -127.0, 127.0).astype(jnp.int8)
-    k_fold = kernel.astype(jnp.float32) * s_act[None, None, :, None]
-    kq, sk = quantize_kernel_per_channel(k_fold)
+    kq, sk = quantize_kernel_per_channel(kernel)
     y = _int8_conv(xq, kq, strides, padding)
     return (y.astype(jnp.bfloat16)
-            * sk.astype(jnp.bfloat16)).astype(out_dtype)
+            * (s_act * sk).astype(jnp.bfloat16)).astype(out_dtype)
