@@ -135,6 +135,49 @@ def test_export_explicit_platform_lowering(setup_finetuned):
                                np.asarray(want_segm), atol=1e-4)
 
 
+def test_export_int8_static_bakes_calibrated_scales(setup_finetuned):
+    """--quantize int8_static export: calibrate on frames via
+    calibrate_quant_scales (the production path), bake the scales into the
+    artifact, and stay within the int8 tolerance of the float output."""
+    from latentpose_tpu.cli.export import export_serving_artifact
+
+    args, models, state = setup_finetuned
+    args_d = tiny_args(quantize="int8")
+    args_s = tiny_args(quantize="int8_static")
+
+    def gen_for(a):
+        return gen_mod.Generator(
+            num_channels=a.num_channels,
+            max_num_channels=a.max_num_channels,
+            identity_embedding_size=a.embed_channels,
+            pose_embedding_size=a.pose_embedding_size,
+            output_image_size=a.image_size,
+            num_residual_blocks=a.gen_num_residual_blocks,
+            quantize=True,
+            quant_static=a.quantize == "int8_static")
+
+    models_dyn = {**models, "generator": gen_for(args_d)}
+    models_st = {**models, "generator": gen_for(args_s)}
+
+    rng = np.random.RandomState(4)
+    frames = rng.rand(BATCH * 2, IMG, IMG, 3).astype(np.float32)
+    calib = drive_lib.calibrate_quant_scales(
+        models_dyn, args_d, state, frames, batch_size=BATCH)
+    assert jax.tree_util.tree_leaves(calib), "calibration found no convs"
+
+    blob, _ = export_serving_artifact(
+        models_st, state, args_s, BATCH, jnp.float32, quant_calib=calib)
+    restored = jax.export.deserialize(bytearray(blob))
+
+    drive_fn = drive_lib.make_drive_fn(models, args, use_ema=True)
+    want_rgbs, _ = drive_fn(state, frames[:BATCH])
+    got_rgbs, _ = restored.call(frames[:BATCH])
+    err = np.abs(np.asarray(got_rgbs, np.float32)
+                 - np.asarray(want_rgbs, np.float32))
+    assert float(err.mean()) < 0.05, (
+        f"int8_static export drifted: mean|err|={err.mean():.4f}")
+
+
 def test_export_int8_quantized_models(setup_finetuned):
     """--quantize int8 export: the artifact built from int8-decoder models
     roundtrips and stays within the established int8-vs-float tolerance
