@@ -122,6 +122,7 @@ def main(argv=None):
         max_imgs = int(getattr(args, "X2Face_num_identity_images", 8) or 8)
         collected = []
         for data_dict, _ in dataloader_train:
+            data_dict = loop.dequantize_batch_host(data_dict)  # uint8 wire
             collected.append(np.asarray(data_dict["pose_input_rgbs"][:, 0]))
             if sum(len(c) for c in collected) >= max_imgs:
                 break
