@@ -195,8 +195,9 @@ def main(argv=None):
     parser.add("--crop", action="store_bool", default=False)
     # int8 MXU serving path (~2x conv throughput on v5e; approximate —
     # see ops/quant.py). '' = exact bf16/f32 path; 'int8' = dynamic
-    # per-call activation scales; 'int8_static' = per-input-channel scales
-    # calibrated on the first driver batches + bf16 epilogues.
+    # per-call activation scales; 'int8_static' = static scales calibrated
+    # on the first driver batches (per-tensor at serve time; no per-call
+    # absmax reduce) + bf16 epilogues — fastest, see ops/quant.py.
     parser.add("--quantize", type=str, default="",
                choices=["", "int8", "int8_static"])
     parser.add("--calibration_frames", type=int, default=64,

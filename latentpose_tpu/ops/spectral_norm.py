@@ -85,9 +85,10 @@ class _SNMixin:
 
 class _QuantConvMixin:
     """int8 conv dispatch shared by the plain and fused-upsample branches:
-    dynamic per-call scales, or static calibrated per-input-channel scales
-    kept in the 'quant_calib' collection (running absmax while the
-    collection is mutable — the calibration pass)."""
+    dynamic per-call scales, or static calibrated scales kept in the
+    'quant_calib' collection (per-channel running absmax while the
+    collection is mutable — the calibration pass; reduced to a per-tensor
+    scale at serve time, ops/quant.py)."""
 
     def _quant_conv(self, x, kernel, strides, pad, dtype):
         from latentpose_tpu.ops.quant import (act_absmax_per_channel,

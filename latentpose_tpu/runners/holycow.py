@@ -350,7 +350,7 @@ def make_train_step(models, criteria, args, opt_g, opt_d, donate=False,
         criterion is a mean over its microbatch rows, so the average over
         equal-size microbatches equals the full-batch gradient.  Peak
         activation memory drops ~grad_accum-x; grads live once (carried,
-        not stacked).  Composes under make_bf16_grad_fn: accumulation stays
+        not stacked).  Composes under make_explicit_grad_fn: accumulation stays
         f32 per shard, only the final cross-shard reduction is compressed —
         horovod's ``backward_passes_per_step`` + fp16 ``Compression``
         semantics (reference train.py:110-116,201-211)."""
