@@ -66,6 +66,19 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_ubyte),
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_float)]
+        try:
+            lib.lpr_load_cropped_batch_u8.restype = ctypes.c_int
+            lib.lpr_load_cropped_batch_u8.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte)]
+        except AttributeError:  # stale .so predating the u8 wire entry
+            logger.warning("liblpr_loader.so lacks the u8 entry point — "
+                           "rebuild with `make -C native` for the uint8 "
+                           "wire fast path")
         _lib = lib
     except OSError as exc:
         logger.warning("Could not load native loader: %s", exc)
@@ -130,6 +143,31 @@ class NativeBatchLoader:
             hb.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
             out_size,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out, failed
+
+    def load_cropped_u8(self, paths, bboxes, has_bbox, out_size):
+        """uint8 wire-format variant of :meth:`load_cropped`: the loader
+        threads quantize the float result with the wire formula
+        (floor(v*255+0.5) — runners/loop.quantize_batch_u8), so the batch
+        needs no Python-side conversion before crossing host->device as
+        bytes.  Returns (images (N, out, out, 3) uint8, n_failed)."""
+        if not hasattr(self._lib, "lpr_load_cropped_batch_u8") or \
+                self._lib.lpr_load_cropped_batch_u8.argtypes is None:
+            f32, failed = self.load_cropped(paths, bboxes, has_bbox,
+                                            out_size)
+            return (f32 * 255.0 + 0.5).astype(np.uint8), failed
+        n = len(paths)
+        out = np.empty((n, out_size, out_size, 3), np.uint8)
+        c_paths = (ctypes.c_char_p * n)(
+            *[str(p).encode("utf-8") for p in paths])
+        bb = np.ascontiguousarray(bboxes, np.float64)
+        hb = np.ascontiguousarray(has_bbox, np.uint8)
+        failed = self._lib.lpr_load_cropped_batch_u8(
+            self._pool, c_paths, n,
+            bb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            hb.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            out_size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
         return out, failed
 
     def __del__(self):

@@ -49,7 +49,11 @@ class Wrapper:
         loader = SegmSampleLoader(
             args.data_root, img_dir=args.img_dir, kp_dir=args.kp_dir,
             segm_dir=args.segm_dir, bboxes_dir=args.bboxes_dir,
-            draw_oval=args.draw_oval, deterministic=part != "train")
+            draw_oval=args.draw_oval, deterministic=part != "train",
+            # --transfer_dtype uint8: emit the wire format straight from
+            # the decode path (native loader quantizes on its threads) —
+            # no per-batch f32->u8 pass; the step dequantizes on device
+            wire_dtype=getattr(args, "transfer_dtype", "float32"))
         dataset = VoxCeleb2SegmDataset(
             dirlist, loader, bool(args.inference),
             args.n_frames_for_encoder, args.image_size, augmenter=None)
@@ -64,10 +68,14 @@ class SegmSampleLoader(voxceleb.SampleLoader):
     """Adds bbox-crop + segmentation to the base frame loader."""
 
     def __init__(self, data_root, img_dir=None, kp_dir=None, segm_dir=None,
-                 bboxes_dir=None, draw_oval=True, deterministic=False):
+                 bboxes_dir=None, draw_oval=True, deterministic=False,
+                 wire_dtype="float32"):
         super().__init__(data_root, img_dir, kp_dir, draw_oval=draw_oval,
                          deterministic=deterministic)
         self.segm_dir = segm_dir
+        # 'uint8': images/segm stay uint8 end-to-end (the JPEG decode is
+        # uint8 anyway); values equal quantize_batch_u8 of the f32 path
+        self.wire_dtype = wire_dtype
         try:
             self.bboxes = np.load(str(bboxes_dir), allow_pickle=True).item()
         except (FileNotFoundError, OSError):
@@ -114,7 +122,10 @@ class SegmSampleLoader(voxceleb.SampleLoader):
             paths.append(self._resolve_image(path, i))
             bboxes.append((l, t, r, b))
             flags.append(has_bbox)
-        images, failed = self._native.load_cropped(
+        load = (self._native.load_cropped_u8
+                if self.wire_dtype == "uint8"
+                else self._native.load_cropped)
+        images, failed = load(
             paths, np.asarray(bboxes, np.float64),
             np.asarray(flags, np.uint8), imsize)
         if failed:
@@ -159,7 +170,10 @@ class SegmSampleLoader(voxceleb.SampleLoader):
             interp = (cv2.INTER_CUBIC if imsize > bi - ti
                       else cv2.INTER_AREA)
             image = cv2.resize(image, (imsize, imsize), interpolation=interp)
-            out["image"] = image.astype(np.float32) / 255.0
+            # cv2 resizes u8->u8, so the u8 wire is the SAME bytes the f32
+            # path divides by 255 (bit-equal to quantize_batch_u8 of it)
+            out["image"] = image if self.wire_dtype == "uint8" \
+                else image.astype(np.float32) / 255.0
 
         if load_keypoints or load_stickman:
             assert load_image
@@ -168,8 +182,9 @@ class SegmSampleLoader(voxceleb.SampleLoader):
             kp -= [[l, t]]
             kp /= [[r - l, b - t]]
             if load_stickman:
-                out["stickman"] = self.draw_stickman(
-                    (imsize, imsize), kp * imsize).astype(np.float32) / 255.0
+                raster = self.draw_stickman((imsize, imsize), kp * imsize)
+                out["stickman"] = raster if self.wire_dtype == "uint8" \
+                    else raster.astype(np.float32) / 255.0
             if load_keypoints:
                 out["keypoints"] = kp.flatten()
 
@@ -183,7 +198,9 @@ class SegmSampleLoader(voxceleb.SampleLoader):
             segm = crop_lib.crop_with_padding(segm, ti, li, bi, ri,
                                               segmentation=True)
             segm = cv2.resize(segm, (imsize, imsize))
-            out["segmentation"] = (segm.astype(np.float32) / 255.0)[..., None]
+            out["segmentation"] = segm[..., None] \
+                if self.wire_dtype == "uint8" \
+                else (segm.astype(np.float32) / 255.0)[..., None]
 
         return out
 
@@ -194,6 +211,17 @@ class VoxCeleb2SegmDataset(voxceleb.VoxCeleb2DatasetBase):
         super().__init__(dirlist, loader, inference, n_frames_for_encoder,
                          imsize, augmenter)
         self.num_labels = 1 if dirlist.finetuning else len(dirlist)
+
+    @staticmethod
+    def _masked_target(image, segm):
+        """target = image * segmentation (reference ``:237``), in the wire
+        dtype: uint8 inputs produce floor(i*s/255 + 0.5) — exactly the
+        wire quantization of the f32 product (i/255)*(s/255)."""
+        if image.dtype == np.uint8:
+            return np.floor(
+                image.astype(np.float32) * segm.astype(np.float32)
+                / 255.0 + 0.5).astype(np.uint8)
+        return image * segm
 
     def __getitem__(self, index):
         data_dict, target_dict = {}, {}
@@ -209,7 +237,7 @@ class VoxCeleb2SegmDataset(voxceleb.VoxCeleb2DatasetBase):
             data_dict["pose_input_rgbs"] = image
             if not self.inference:
                 segm = sample["segmentation"][None]
-                data_dict["target_rgbs"] = image * segm
+                data_dict["target_rgbs"] = self._masked_target(image, segm)
                 target_dict["real_segm"] = segm
             target_dict["label"] = 0
         else:
@@ -226,7 +254,8 @@ class VoxCeleb2SegmDataset(voxceleb.VoxCeleb2DatasetBase):
             data_dict["pose_input_rgbs"] = dec["image"][None]
             if not self.inference:
                 segm = dec["segmentation"][None]
-                data_dict["target_rgbs"] = dec["image"][None] * segm
+                data_dict["target_rgbs"] = self._masked_target(
+                    dec["image"][None], segm)
                 target_dict["real_segm"] = segm
             target_dict["label"] = index
 

@@ -543,4 +543,69 @@ int lpr_load_cropped_batch(void* pool_ptr, const char** paths, int n,
   return failures.load();
 }
 
+// uint8 wire-format variant of lpr_load_cropped_batch: identical decode /
+// blur-fade crop / resize pipeline, with the final float result quantized
+// to uint8 on the loader threads using the wire formula
+// floor(v*255 + 0.5) (latentpose_tpu/runners/loop.quantize_batch_u8) —
+// the batch then crosses host->device as bytes with no Python-side
+// conversion pass.  out: n * out_size^2 * 3 uint8 RGB.
+int lpr_load_cropped_batch_u8(void* pool_ptr, const char** paths, int n,
+                              const double* bboxes,
+                              const unsigned char* has_bbox,
+                              int out_size, unsigned char* out) {
+  Pool* pool = static_cast<Pool*>(pool_ptr);
+  std::atomic<int> failures{0};
+  std::atomic<int> remaining{n};
+  std::mutex done_mu;
+  std::condition_variable done_cv;
+
+  const size_t stride = size_t(out_size) * out_size * 3;
+  for (int i = 0; i < n; ++i) {
+    pool->Submit([&, i] {
+      Image img;
+      unsigned char* dst = out + stride * i;
+      std::vector<float> tmp(stride);
+      bool ok = false;
+      if (decode_file(paths[i], &img)) {
+        int off = has_bbox[i] ? 1 : 0;
+        int H = img.h - 2 * off, W = img.w - 2 * off;
+        double l = bboxes[i * 4 + 0], t = bboxes[i * 4 + 1];
+        double r = bboxes[i * 4 + 2], b = bboxes[i * 4 + 3];
+        int tt = int(std::floor(t * img.h)) - off;
+        int ll = int(std::floor(l * img.h)) - off;
+        int rr = int(std::ceil(r * img.h)) - off;
+        int bb = int(std::ceil(b * img.h)) - off;
+        bb += (rr - ll) - (bb - tt);
+        bb += 1;
+        rr += 1;
+        std::vector<unsigned char> cropped;
+        crop_padded_u8(img, off, off, H, W, tt, ll, bb, rr, &cropped);
+        int ch = bb - tt, cw = rr - ll;
+        if (out_size > ch)
+          resize_cubic(cropped, ch, cw, out_size, out_size, tmp.data());
+        else
+          resize_area(cropped, ch, cw, out_size, out_size, tmp.data());
+        ok = true;
+      }
+      if (ok) {
+        for (size_t j = 0; j < stride; ++j) {
+          float v = tmp[j] * 255.0f + 0.5f;
+          dst[j] = (unsigned char)(v < 0.f ? 0.f
+                                           : (v > 255.f ? 255.f : v));
+        }
+      } else {
+        std::memset(dst, 0, stride);
+        failures.fetch_add(1);
+      }
+      if (remaining.fetch_sub(1) == 1) {
+        std::lock_guard<std::mutex> lk(done_mu);
+        done_cv.notify_all();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(done_mu);
+  done_cv.wait(lk, [&] { return remaining.load() == 0; });
+  return failures.load();
+}
+
 }  // extern "C"

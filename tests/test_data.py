@@ -255,3 +255,49 @@ def test_pixelwise_pool_is_complete():
                      "edge_detect_blobby", "additive_noise", "brightness",
                      "multiply", "contrast", "saturation", "jpeg_artifacts",
                      "elastic"}
+
+
+def test_flagship_uint8_wire_matches_quantized_f32(fake_voxceleb_tree):
+    """--transfer_dtype uint8 on the flagship dataset: images/segm/stickman
+    come out uint8 straight from the decode path (native loader quantizes
+    on its threads; cv2's u8->u8 resize path is the same bytes), equal to
+    quantize_batch_u8 of the f32 batch — the masked target within 1 LSB
+    where the native f32 resize carries sub-quantum values."""
+    from latentpose_tpu.data import voxceleb2_segmentation_nolandmarks as ds
+    from latentpose_tpu.runners.loop import quantize_batch_u8
+
+    args_f = make_args(fake_voxceleb_tree, num_workers=1)
+    args_u = make_args(fake_voxceleb_tree, num_workers=1,
+                       transfer_dtype="uint8")
+
+    def batch(args):
+        # part='val': deterministic frame sampling, so both loaders pick
+        # the same frames; phase='val': no shuffle
+        loader = ds.Wrapper.get_dataloader(args, "val", phase="val")
+        data, target = next(iter(loader))
+        return {**data, **target}
+
+    want = quantize_batch_u8(batch(args_f))
+    got = batch(args_u)
+    for key in ("enc_rgbs", "pose_input_rgbs", "real_segm"):
+        assert got[key].dtype == np.uint8, key
+        np.testing.assert_array_equal(got[key], want[key], err_msg=key)
+    assert got["target_rgbs"].dtype == np.uint8
+    diff = np.abs(got["target_rgbs"].astype(np.int16)
+                  - want["target_rgbs"].astype(np.int16))
+    assert diff.max() <= 1, diff.max()  # double-rounding headroom
+    np.testing.assert_array_equal(got["label"], want["label"])
+
+
+def test_finetune_uint8_wire(fake_voxceleb_tree):
+    from latentpose_tpu.data import voxceleb2_segmentation_nolandmarks as ds
+    args = make_args(fake_voxceleb_tree, finetune=True,
+                     transfer_dtype="uint8")
+    args.train_split_path = "id00001/videoA"
+    loader = ds.Wrapper.get_dataloader(args, "train")
+    data, target = next(iter(loader))
+    assert data["enc_rgbs"].dtype == np.uint8
+    assert data["target_rgbs"].dtype == np.uint8
+    assert target["real_segm"].dtype == np.uint8
+    # corners outside the head box are masked to ~0 in wire units
+    assert int(data["target_rgbs"][:, :, :4, :4].max()) < 64

@@ -80,3 +80,29 @@ def test_native_cropped_batch_and_failures(tmp_path):
     assert got.shape == (2, 32, 32, 3)
     assert np.abs(got[1]).max() == 0.0  # failed slot zeroed
     assert got[0].max() > 0.1
+
+
+def test_native_cropped_u8_matches_quantized_f32(tmp_path):
+    """lpr_load_cropped_batch_u8 (uint8 wire format): bit-equal to the
+    f32 path quantized with the wire formula floor(v*255+0.5)
+    (runners/loop.quantize_batch_u8) — the quantization just moves onto
+    the loader threads."""
+    rng = np.random.RandomState(7)
+    _write_png(tmp_path / "a.png", rng)
+    bbox = crop_lib.square_and_scale_bbox(0.2, 0.15, 0.8, 0.85)
+    bboxes = np.asarray([bbox], np.float64)
+    flags = np.asarray([1], np.uint8)
+
+    loader = native_loader.NativeBatchLoader(num_threads=2)
+    f32, fail_f = loader.load_cropped([tmp_path / "a.png"], bboxes, flags,
+                                      64)
+    u8, fail_u = loader.load_cropped_u8([tmp_path / "a.png"], bboxes,
+                                        flags, 64)
+    assert fail_f == 0 and fail_u == 0
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(u8, (f32 * 255.0 + 0.5).astype(np.uint8))
+
+    # failed slots are zeroed like the f32 path
+    u8m, fail_m = loader.load_cropped_u8(
+        [tmp_path / "missing.png"], bboxes, flags, 32)
+    assert fail_m == 1 and u8m.max() == 0
