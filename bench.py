@@ -368,7 +368,10 @@ def main():
     image_size = 256
     batch = 256  # post-decoder-optimization sweep on v5e (bf16:
     #              128->1739, 192->1614, 256->1805 fps; int8: 128->2304,
-    #              256->2308) — 256 wins for bf16, flat for int8
+    #              256->2308) — 256 wins for bf16, flat for int8.
+    #              Re-swept for int8_static in round 5 (the serializing
+    #              absmax reduce is gone): 128->2488, 256->2493,
+    #              384->HBM OOM — still flat, 256 stays optimal
 
     args = types.SimpleNamespace(
         image_size=image_size, in_channels=3, out_channels=3,
